@@ -1,0 +1,361 @@
+"""Database construction: target genomes -> discriminative canonical k-mer DB.
+
+Vectorized re-implementation of the reference build pipeline
+(CuCLARK_hh.hh:691-1329 makeSpecificTargetSets + HashTableStorage_hh.hh):
+instead of inserting k-mers one at a time into a chained hash table, all
+occurrences are extracted as flat arrays and aggregated with a sort/group-by.
+The multiplicity bookkeeping reproduces the reference's update rule exactly
+(HashTableStorage_hh.hh:422-461, hashTable_hh.hh:398-410):
+
+  * first occurrence of a canonical k-mer stores its label L0, multiplicity 1
+  * each later occurrence with label X adds
+        (X != L0) + (prefix(X) != prefix(L0))
+    to the multiplicity, where prefix(L) = L without its last char and
+    prefixes only compare equal for equal-length labels ("centromere" pairing)
+  * counts accumulate; the default (non --tsk) builds use the 8-bit saturating
+    lElement counter capped at 254 (dataType.hh:333-334)
+
+RemoveCommon (HashTableStorage_hh.hh:230-280): keep multiplicity==1 entries
+with count > minT; when centromere labels exist, also keep multiplicity==2
+entries (relabeled to the matching centromere label when one exists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ..io import dbformat
+from ..io.fasta import parse_reads, window_starts
+from ..io.targets import TargetsDef
+from ..kmer import canonical_u64, encode_seq, enc_le, window_values_le
+from ..params import Profile
+
+
+@dataclasses.dataclass
+class Occurrences:
+    """All k-mer occurrences of one target file, in stream order."""
+
+    canonical: np.ndarray  # uint64
+    counts: np.ndarray | None = None  # None => all 1 (sequence input)
+
+
+def extract_occurrences(
+    data: bytes, k: int, light: bool, gap: int
+) -> Occurrences:
+    """K-mer occurrence stream of one FASTA/FASTQ target file.
+
+    Normal mode: every overlapping valid window.  Light mode: non-overlapping
+    windows (the scanner resets after each completed k-mer), with a per-file
+    counter selecting every gap-th completed k-mer (CuCLARK_hh.hh:722-729).
+    """
+    rs = parse_reads(data)
+    if not light:
+        starts, _ = window_starts(rs, k)
+        vals = window_values_le(np.where(rs.codes >= 0, rs.codes, 0).astype(np.int8), k, starts)
+        return Occurrences(canonical=canonical_u64(vals, k))
+
+    # Light: within each maximal valid run (runs break at invalid chars and
+    # record boundaries), k-mers complete at offsets k-1, 2k-1, ... ; a global
+    # per-file counter over completed k-mers picks every gap-th one.
+    codes = rs.codes
+    valid = codes >= 0
+    # run breaks at read boundaries: mark boundary positions as breaks
+    run_break = ~valid.copy()
+    # read starts begin new runs
+    boundary = np.zeros(len(codes) + 1, dtype=bool)
+    boundary[rs.read_offsets[1:-1]] = True
+    # run ids: increment at each invalid char or read start
+    is_start = np.zeros(len(codes), dtype=bool)
+    if len(codes):
+        is_start[0] = True
+        is_start[1:] = run_break[:-1] | boundary[1 : len(codes)]
+    run_id = np.cumsum(is_start) - 1
+    run_id = np.where(valid, run_id, -1)
+    vpos = np.nonzero(valid)[0]
+    if len(vpos) == 0:
+        return Occurrences(canonical=np.zeros(0, dtype=np.uint64))
+    vruns = run_id[vpos]
+    # per-run lengths and start offsets in the valid-position stream
+    uruns, run_start_idx, run_lens = np.unique(
+        vruns, return_index=True, return_counts=True
+    )
+    nk_per_run = run_lens // k
+    total_kmers = int(nk_per_run.sum())
+    if total_kmers == 0:
+        return Occurrences(canonical=np.zeros(0, dtype=np.uint64))
+    # j-th completed kmer of a run occupies valid-stream slots
+    # [run_start + j*k, run_start + (j+1)*k)
+    from ..io.fasta import _ranges_concat
+
+    kmer_run = np.repeat(np.arange(len(uruns)), nk_per_run)
+    j_in_run = _ranges_concat(nk_per_run)
+    vstart = run_start_idx[kmer_run] + j_in_run * k
+    # completed k-mers in file order == order of their last nucleotide ==
+    # vstart order (runs are in file order)
+    sel = (np.arange(total_kmers) % gap) == 0
+    vstart = vstart[sel]
+    # gather codes of each window from the valid stream
+    win = vpos[vstart[:, None] + np.arange(k)[None, :]]
+    wcodes = codes[win].astype(np.uint64)
+    shifts = (np.arange(k, dtype=np.uint64) * np.uint64(2))
+    vals = (wcodes << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return Occurrences(canonical=canonical_u64(vals, k))
+
+
+def extract_spectrum(
+    text: bytes, k: int, light: bool, gap: int, min_count_target: int
+) -> Occurrences:
+    """Spectrum-form target file: lines of "<kmer-string> <count>"
+    (CuCLARK_hh.hh:861-877, 1298-1308)."""
+    canon = []
+    counts = []
+    counter = 0
+    for line in text.split(b"\n"):
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        s, val = parts[0].decode(), int(parts[1])
+        if light:
+            # bug-compatible counter reset (CuCLARK_hh.hh:866-875)
+            if counter % gap == 0 and val > min_count_target:
+                canon.append(_canon_of_string(s))
+                counts.append(val)
+                counter = 0
+            counter += 1
+        else:
+            if val > min_count_target:
+                canon.append(_canon_of_string(s))
+                counts.append(val)
+    return Occurrences(
+        canonical=np.array(canon, dtype=np.uint64),
+        counts=np.array(counts, dtype=np.int64),
+    )
+
+
+def _canon_of_string(s: str) -> int:
+    codes = encode_seq(s)
+    if (codes < 0).any():
+        raise ValueError(f"invalid k-mer {s!r}")
+    return int(canonical_u64(np.uint64(enc_le(codes)), len(codes)))
+
+
+@dataclasses.dataclass
+class BuiltDB:
+    canonical: np.ndarray  # uint64, specific k-mers (marked entries)
+    labels: np.ndarray  # uint16
+    n_mother: int  # size of the mother table (distinct canonical k-mers)
+
+
+def aggregate(
+    occ_canon: np.ndarray,
+    occ_label: np.ndarray,
+    occ_count: np.ndarray,
+    targets: TargetsDef,
+    min_count_target: int,
+    lelement: bool,
+    need_tsk: bool = False,
+):
+    """Group occurrences by canonical k-mer and apply the reference's
+    multiplicity/count rules.  Returns per-distinct-kmer arrays:
+    (canon, L0, mult, count, first_seqno)."""
+    n = len(occ_canon)
+    order = np.argsort(occ_canon, kind="stable")
+    c = occ_canon[order]
+    l = occ_label[order]
+    v = occ_count[order]
+
+    grp_start = np.concatenate([[True], c[1:] != c[:-1]])
+    gid = np.cumsum(grp_start) - 1
+    ngroups = int(gid[-1]) + 1 if n else 0
+    first_idx = np.nonzero(grp_start)[0]
+    L0 = l[first_idx]
+
+    # prefix-group id per combined label index
+    all_labels = targets.labels + targets.labels_c
+    pgid_map: dict[tuple[int, str], int] = {}
+    pg = np.zeros(len(all_labels), dtype=np.int64)
+    for i, lbl in enumerate(all_labels):
+        key = (len(lbl), lbl[:-1])
+        pg[i] = pgid_map.setdefault(key, len(pgid_map))
+
+    L0_of = L0[gid]
+    nonfirst = ~grp_start
+    d = (l != L0_of).astype(np.int64) + (pg[l] != pg[L0_of]).astype(np.int64)
+    d = np.where(nonfirst, d, 0)
+    mult = 1 + np.bincount(gid, weights=d, minlength=ngroups).astype(np.int64)
+    mult = np.minimum(mult, 255)
+
+    if lelement:
+        if np.all(v == 1):
+            gsize = np.bincount(gid, minlength=ngroups)
+            count = np.minimum(gsize, 254)
+        else:
+            count = _saturating_group_sum(gid, v, ngroups)
+    else:
+        count = np.bincount(gid, weights=v, minlength=ngroups).astype(np.int64)
+
+    return c[first_idx], L0, mult, count, order[first_idx]
+
+
+def _saturating_group_sum(gid, v, ngroups):
+    """lElement.AddToCount: add only while the 8-bit counter stays < 255."""
+    out = np.zeros(ngroups, dtype=np.int64)
+    for g, val in zip(gid, v):
+        if out[g] + val < 255:
+            out[g] += val
+    return out
+
+
+def remove_common(
+    canon, L0, mult, count, targets: TargetsDef, min_count_target: int
+):
+    """Select and relabel specific k-mers (HashTableStorage_hh.hh:230-280)."""
+    keep1 = (mult == 1) & (count > min_count_target)
+    labels = L0.copy()
+    if targets.labels_c:
+        keep2 = (mult == 2) & (count > min_count_target)
+        # relabel to the first centromere label with matching prefix
+        lidx = targets.label_index
+        relabel = {}
+        for i, lbl in enumerate(targets.labels + targets.labels_c):
+            for lc in targets.labels_c:
+                if len(lc) == len(lbl) and lc[: len(lbl) - 1] == lbl[:-1]:
+                    relabel[i] = lidx[lc]
+                    break
+        if relabel:
+            src = np.array(list(relabel.keys()))
+            dst = np.array(list(relabel.values()))
+            lut = np.arange(len(targets.labels) + len(targets.labels_c))
+            lut[src] = dst
+            labels = np.where(keep2, lut[L0], labels)
+        keep = keep1 | keep2
+    else:
+        keep = keep1
+    return canon[keep], labels[keep].astype(np.uint16)
+
+
+_HT_DIGITS = "TGCA"  # IndexTovector digit alphabet (kmersConversion.cc:88-131)
+
+
+def ht_kmer_string(canon: int, k: int) -> str:
+    """The k-mer string the reference writes in .ht files: the canonical value
+    read as big-endian base-4 with digits T,G,C,A (== revcomp of the
+    canonical-form sequence)."""
+    out = []
+    for j in range(k - 1, -1, -1):
+        out.append(_HT_DIGITS[(int(canon) >> (2 * j)) & 3])
+    return "".join(out)
+
+
+def build_database(
+    targets: TargetsDef,
+    folder: str,
+    profile: Profile,
+    k: int,
+    min_count_target: int = 0,
+    gap: int | None = None,
+    tsk: bool = False,
+) -> BuiltDB:
+    """Build and serialize the central DB (and optional per-target .ht files).
+
+    `folder` is the database directory (the reference's -D).
+    """
+    gap = profile.default_gap if gap is None else gap
+    lidx = targets.label_index
+    occ_c: list[np.ndarray] = []
+    occ_l: list[np.ndarray] = []
+    occ_v: list[np.ndarray] = []
+    for path, lbl in zip(targets.files, targets.file_labels):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:1] in (b">", b"@"):
+            occ = extract_occurrences(data, k, profile.light, gap)
+        else:
+            occ = extract_spectrum(data, k, profile.light, gap, min_count_target)
+        occ_c.append(occ.canonical)
+        occ_l.append(np.full(len(occ.canonical), lidx[lbl], dtype=np.int64))
+        if occ.counts is None:
+            occ_v.append(np.ones(len(occ.canonical), dtype=np.int64))
+        else:
+            occ_v.append(occ.counts)
+    canon_all = np.concatenate(occ_c) if occ_c else np.zeros(0, np.uint64)
+    lbl_all = np.concatenate(occ_l) if occ_l else np.zeros(0, np.int64)
+    cnt_all = np.concatenate(occ_v) if occ_v else np.zeros(0, np.int64)
+
+    lelement = not tsk  # --tsk builds use the 32-bit Element counter
+    canon, L0, mult, count, first_seq = aggregate(
+        canon_all, lbl_all, cnt_all, targets, min_count_target, lelement
+    )
+
+    if tsk:
+        _write_tsk_files(
+            folder, profile, k, targets, canon, L0, mult, count, first_seq,
+            min_count_target,
+        )
+
+    spec_c, spec_l = remove_common(canon, L0, mult, count, targets, min_count_target)
+    stem = os.path.join(
+        folder, profile.db_stem(k, targets.n_targets, min_count_target, gap)
+    )
+    dbformat.write_db(stem, profile, k, spec_c, spec_l)
+    return BuiltDB(canonical=spec_c, labels=spec_l, n_mother=len(canon))
+
+
+def _write_tsk_files(
+    folder, profile, k, targets, canon, L0, mult, count, first_seq, min_count
+):
+    """Per-target .ht text files (SaveMultiple / SaveIntersectionMultiple,
+    HashTableStorage_hh.hh:283-393).  Line order matches the reference's
+    pre-sort hashtable iterator: bucket-major, insertion (first-occurrence)
+    order within a bucket."""
+    remainder = canon % np.uint64(profile.htsize)
+    order = np.lexsort((first_seq, remainder))
+
+    # SaveIntersectionMultiple first (m==2, prefix-matched centromere file)
+    handles_c = {}
+    for lc in targets.labels_c:
+        fname = os.path.join(folder, f"{lc}_k{k}.ht")
+        f = open(fname, "w")
+        f.write(f"#K-mers specific to chromosome-centromere {lc[:-1]}\n")
+        f.write(f"#IKMER ICOUNT {k}-MER\n#\n")
+        handles_c[lc] = f
+    all_labels = targets.labels + targets.labels_c
+    if handles_c:
+        for i in order:
+            if mult[i] != 2:
+                continue
+            lbl = all_labels[L0[i]]
+            for lc in targets.labels_c:
+                if len(lc) == len(lbl) and lc[:-1] == lbl[:-1]:
+                    handles_c[lc].write(
+                        f"{int(canon[i])}\t{int(count[i])}\t{ht_kmer_string(canon[i], k)}\n"
+                    )
+                    break
+    for f in handles_c.values():
+        f.close()
+
+    # SaveMultiple (m==1 entries into their label's file)
+    handles = {}
+    for lbl in targets.labels:
+        fname = os.path.join(folder, f"{lbl}_k{k}.ht")
+        f = open(fname, "w")
+        f.write(
+            f"#Target specific k-mers labeled {lbl} and appearing strictly "
+            f"more than {min_count} times.\n"
+        )
+        f.write(f"#IKMER ICOUNT {k}-MER \n#\n")
+        handles[lbl] = f
+    lbl_set = set(targets.labels)
+    for i in order:
+        if mult[i] != 1:
+            continue
+        lbl = all_labels[L0[i]]
+        if lbl in lbl_set:
+            handles[lbl].write(
+                f"{int(canon[i])}\t{int(count[i])}\t{ht_kmer_string(canon[i], k)}\n"
+            )
+    for f in handles.values():
+        f.close()

@@ -1,0 +1,265 @@
+"""Classification engine: file -> batched device queries -> CSV.
+
+Replaces the reference's CuCLARK engine hot path (CuCLARK_hh.hh:1335-1783
+getObjectsDataComputeFullGPU + printExtendedResultsSynced:1946-2122):
+
+  host (numpy): mmap + vectorized read scan, window extraction, canonical
+                k-mer values;
+  device (jit): sorted-index lookup + per-read count/top-2 reductions,
+                optionally sharded over a `Mesh` axis with psum merging;
+  host:         Gamma/Confidence in doubles and C-printf `%g` CSV formatting,
+                byte-identical to the reference
+                (Gamma = sum / (len - k + 1), Confidence = best/(best+s_best),
+                 CuCLARK_hh.hh:2042-2051, 2110-2118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io import dbformat
+from .io.fasta import ReadSet, merge_paired, parse_reads, window_starts
+from .io.targets import TargetsDef, parse_targets
+from .kmer import canonical_u64, window_values_le
+from .ops import lookup, score
+from .params import NBN, Profile
+
+
+@dataclasses.dataclass
+class BatchPlan:
+    """Fixed device shapes; the same jitted executable serves every batch."""
+
+    max_queries: int = 1 << 20
+    max_reads: int = 1 << 14
+
+
+class Classifier:
+    """Single- or multi-device CLARK classifier over a loaded database."""
+
+    def __init__(
+        self,
+        profile: Profile,
+        k: int,
+        target_names: list[str],
+        canonical: np.ndarray,
+        labels: np.ndarray,
+        plan: BatchPlan | None = None,
+        mesh: jax.sharding.Mesh | None = None,
+    ):
+        self.profile = profile
+        self.k = k
+        self.target_names = target_names
+        self.n_targets = len(target_names) - 1  # names include NA at 0
+        self.plan = plan or BatchPlan()
+        self.mesh = mesh
+
+        keys, labels1 = lookup.prepare_index(canonical, labels)
+        if mesh is not None:
+            from .parallel.mesh import shard_index
+
+            self.keys, self.labels1, self.query_fn = shard_index(
+                mesh, keys, labels1, self.n_targets, self.plan
+            )
+        else:
+            self.keys = jnp.asarray(keys)
+            self.labels1 = jnp.asarray(labels1)
+            self.query_fn = functools.partial(
+                _query_single, n_targets=self.n_targets, max_reads=self.plan.max_reads
+            )
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def load(
+        cls,
+        folder: str,
+        targets: TargetsDef | str,
+        profile: Profile,
+        k: int | None = None,
+        min_count_target: int = 0,
+        sampling_factor: int = 1,
+        gap: int | None = None,
+        plan: BatchPlan | None = None,
+        mesh: jax.sharding.Mesh | None = None,
+    ) -> "Classifier":
+        if isinstance(targets, str):
+            targets = parse_targets(targets)
+        k = profile.default_k if k is None else k
+        g = profile.default_gap if gap is None else gap
+        stem = os.path.join(
+            folder, profile.db_stem(k, targets.n_targets, min_count_target, g)
+        )
+        canonical, labels = dbformat.read_db(stem, profile, k, sampling_factor)
+        return cls(
+            profile, k, targets.target_names, canonical, labels, plan=plan, mesh=mesh
+        )
+
+    # -------------------------------------------------------------- classify
+    def classify_bytes(self, data: bytes, paired: bool = False, extended: bool = False):
+        """Classify one in-memory FASTA/FASTQ file; returns (rows, n_reads).
+
+        rows is a generator of formatted CSV body lines (bytes).
+        """
+        rs = parse_reads(data)
+        return self._classify_readset(rs, paired=paired, extended=extended), rs.n_reads
+
+    def classify_file(
+        self,
+        objects_path: str,
+        result_path: str,
+        paired_path: str | None = None,
+        extended: bool = False,
+        verbose: bool = False,
+    ) -> dict:
+        """Classify a file (or paired files) to `<result_path>.csv`.
+
+        Returns speed stats (reads, seconds, reads_per_min), mirroring
+        printSpeedStats (CuCLARK_hh.hh:1932-1939).
+        """
+        with open(objects_path, "rb") as f:
+            data = f.read()
+        paired = paired_path is not None
+        if paired:
+            with open(paired_path, "rb") as f:
+                data2 = f.read()
+            data = merge_paired(data, data2)
+
+        t0 = time.time()
+        rs = parse_reads(data)
+        out = result_path + ".csv"
+        with open(out, "wb") as f:
+            f.write(self._header(extended))
+            for line in self._classify_readset(rs, paired=paired, extended=extended):
+                f.write(line)
+        dt = time.time() - t0
+        stats = {
+            "reads": rs.n_reads,
+            "seconds": dt,
+            "reads_per_min": int(rs.n_reads / dt * 60.0) if dt > 0 else 0,
+            "result": out,
+        }
+        if verbose:
+            print(
+                f"Done in {dt:.1f}s ({stats['reads_per_min']} reads/min, "
+                f"{rs.n_reads} reads)"
+            )
+        return stats
+
+    def _header(self, extended: bool) -> bytes:
+        cols = ["Object_ID"]
+        if extended:
+            cols += self.target_names[1:]
+        cols += ["Gamma", "Assignment", "Score", "Confidence"]
+        return (",".join(cols) + "\n").encode()
+
+    def _classify_readset(self, rs: ReadSet, paired: bool, extended: bool):
+        k = self.k
+        starts, rid = window_starts(rs, k)
+        codes = np.where(rs.codes >= 0, rs.codes, 0).astype(np.int8)
+        qvals = canonical_u64(window_values_le(codes, k, starts), k)
+
+        lengths = rs.read_lengths
+        norm = lengths - (NBN if paired else 0)
+        names = _read_names(rs)
+
+        QCAP, RCAP = self.plan.max_queries, self.plan.max_reads
+        n_reads = rs.n_reads
+        # window count per read for batching
+        wcount = np.bincount(rid, minlength=n_reads)
+        woff = np.concatenate([[0], np.cumsum(wcount)])
+
+        r0 = 0
+        while r0 < n_reads:
+            r1 = min(r0 + RCAP, n_reads)
+            if woff[r1] - woff[r0] > QCAP:
+                # largest r with woff[r] - woff[r0] <= QCAP
+                r1 = int(np.searchsorted(woff, woff[r0] + QCAP, side="right")) - 1
+                r1 = min(max(r1, r0 + 1), n_reads)
+            nq = int(woff[r1] - woff[r0])
+            if nq > QCAP:
+                raise RuntimeError(
+                    f"single read exceeds query budget ({nq} > {QCAP}); "
+                    "increase BatchPlan.max_queries"
+                )
+            q = np.full(QCAP, lookup.PAD_QUERY, dtype=np.uint64)
+            qr = np.zeros(QCAP, dtype=np.int32)
+            q[:nq] = qvals[woff[r0] : woff[r1]]
+            qr[:nq] = (rid[woff[r0] : woff[r1]] - r0).astype(np.int32)
+
+            total, ibest, best, sbest, counts = self.query_fn(
+                self.keys, self.labels1, jnp.asarray(q), jnp.asarray(qr),
+            )
+            nb = r1 - r0
+            total = np.asarray(total)[:nb]
+            ibest = np.asarray(ibest)[:nb]
+            best = np.asarray(best)[:nb]
+            sbest = np.asarray(sbest)[:nb]
+            counts_h = np.asarray(counts)[:nb] if extended else None
+
+            for i in range(nb):
+                g = r0 + i
+                yield _format_row(
+                    names[g],
+                    int(total[i]),
+                    int(ibest[i]),
+                    int(best[i]),
+                    int(sbest[i]),
+                    int(norm[g]),
+                    k,
+                    self.target_names,
+                    counts_h[i] if extended else None,
+                )
+            r0 = r1
+
+
+def _read_names(rs: ReadSet) -> list[bytes]:
+    return [rs.name(i) for i in range(rs.n_reads)]
+
+
+def _format_row(
+    name: bytes,
+    total: int,
+    index_best: int,
+    best: int,
+    s_best: int,
+    norm: int,
+    k: int,
+    target_names: list[str],
+    counts_row: np.ndarray | None,
+) -> bytes:
+    # Gamma/Confidence exactly as CuCLARK_hh.hh:2042-2051 (double math, %g)
+    gamma = float(total) / (float(norm) - k + 1.0)
+    delta = float(best + s_best)
+    conf = 0.0 if delta < 0.001 else float(best) / delta
+    ext = b""
+    if counts_row is not None:
+        # columns 1..T of the dense count matrix
+        ext = b"".join(b",%d" % int(c) for c in counts_row[1:])
+    return b"%s%s,%s,%s,%u,%s\n" % (
+        name,
+        ext,
+        _g(gamma),
+        target_names[index_best].encode(),
+        best,
+        _g(conf),
+    )
+
+
+def _g(x: float) -> bytes:
+    """C printf %g formatting (Python's %g matches)."""
+    return (b"%g" % x)
+
+
+# ------------------------------------------------------------------ device fn
+@functools.partial(jax.jit, static_argnames=("n_targets", "max_reads"))
+def _query_single(keys, labels1, q, qread, *, n_targets: int, max_reads: int):
+    lab = lookup.lookup_labels(keys, labels1, q)
+    counts = score.counts_from_hits(lab, qread, max_reads, n_targets)
+    total, ib, b, isb, sb = score.read_results(counts)
+    return total, ib, b, sb, counts

@@ -1,0 +1,111 @@
+"""On-disk database format: `.sz` / `.ky` / `.lb` triplet.
+
+Byte-identical to the reference serialization (hashTable_hh.hh:473-546):
+
+  * `<stem>.sz` — HTSIZE bytes; byte i = number of stored entries in bucket i
+                  (must be <= 255, enforced like hashTable_hh.hh:499-507)
+  * `<stem>.ky` — keys (quotients = canonical // HTSIZE), key_dtype each,
+                  bucket-major, ascending within a bucket (sortall, :204-216)
+  * `<stem>.lb` — uint16 labels, parallel to `.ky`
+
+Loading supports the full-mode sampling factor `-s`: keep every s-th NONZERO
+bucket, counting nonzero buckets from 1 (CuClarkDB.cu:502-513).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..params import Profile
+
+
+class DBFormatError(RuntimeError):
+    pass
+
+
+def write_db(
+    stem: str,
+    profile: Profile,
+    k: int,
+    canonical: np.ndarray,
+    labels: np.ndarray,
+) -> int:
+    """Serialize (canonical k-mer, label) pairs. Returns number of elements.
+
+    Entries may come in any order; they are laid out bucket-major sorted by
+    quotient within each bucket, exactly as the reference's sorted chained
+    table writes them.
+    """
+    canonical = np.asarray(canonical, dtype=np.uint64)
+    labels = np.asarray(labels, dtype=np.uint16)
+    if canonical.shape != labels.shape:
+        raise ValueError("canonical/labels shape mismatch")
+    htsize = np.uint64(profile.htsize)
+    remainder = (canonical % htsize).astype(np.int64)
+    quotient = canonical // htsize
+
+    order = np.lexsort((quotient, remainder))
+    remainder = remainder[order]
+    quotient = quotient[order]
+    labels = labels[order]
+
+    sizes = np.bincount(remainder, minlength=profile.htsize)
+    if sizes.max(initial=0) > 255:
+        raise DBFormatError(
+            "bucket list size exceeds 255; use a larger hash-table size"
+        )
+
+    key_dtype = profile.key_dtype(k)
+    with open(stem + ".sz", "wb") as f:
+        sizes.astype(np.uint8).tofile(f)
+    with open(stem + ".ky", "wb") as f:
+        quotient.astype(key_dtype).tofile(f)
+    with open(stem + ".lb", "wb") as f:
+        labels.tofile(f)
+    return int(canonical.shape[0])
+
+
+def db_exists(stem: str) -> bool:
+    return all(os.path.exists(stem + ext) for ext in (".sz", ".ky", ".lb"))
+
+
+def read_db(
+    stem: str,
+    profile: Profile,
+    k: int,
+    sampling_factor: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load the DB back as (canonical uint64, labels uint16), file order.
+
+    With sampling_factor > 1, only every s-th nonzero bucket is kept
+    (CuClarkDB.cu:502-513: nonzero buckets counted from 1; bucket kept when
+    count % s == 0).
+    """
+    sizes = np.fromfile(stem + ".sz", dtype=np.uint8)
+    if sizes.size != profile.htsize:
+        raise DBFormatError(
+            f"{stem}.sz has {sizes.size} buckets, profile expects {profile.htsize}"
+        )
+    key_dtype = profile.key_dtype(k)
+    quotient = np.fromfile(stem + ".ky", dtype=key_dtype)
+    labels = np.fromfile(stem + ".lb", dtype=np.uint16)
+    if quotient.size != labels.size:
+        raise DBFormatError(f"{stem}: .ky/.lb element count mismatch")
+    if int(sizes.sum(dtype=np.int64)) != quotient.size:
+        raise DBFormatError(f"{stem}: .sz total does not match .ky size")
+
+    nz = np.nonzero(sizes)[0]
+    if sampling_factor > 1:
+        ordinal = np.arange(1, nz.size + 1)
+        keep_nz = nz[ordinal % sampling_factor == 0]
+        keep_mask = np.zeros(profile.htsize, dtype=bool)
+        keep_mask[keep_nz] = True
+        elem_keep = np.repeat(keep_mask[nz], sizes[nz])
+        quotient = quotient[elem_keep]
+        labels = labels[elem_keep]
+        nz = keep_nz
+    remainders = np.repeat(nz.astype(np.uint64), sizes[nz])
+    canonical = quotient.astype(np.uint64) * np.uint64(profile.htsize) + remainders
+    return canonical, labels

@@ -1,0 +1,50 @@
+"""Per-read scoring: hit counts -> (sum, best, second-best) with exact
+reference tie-breaking.
+
+Replaces the reference's mergeKernel/resultKernel (CuClarkDB.cu:1261-1411).
+The resultKernel scans sparse (target, count) pairs in ascending-target order
+with strict '>' updates, which makes (best, second best) exactly the top-2
+under the ordering (count desc, target index asc).  `indexBest` is the target
+index + 1 so 0 means "NA" (CuClarkDB.cu:1390).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def counts_from_hits(labels1: jnp.ndarray, read_id: jnp.ndarray, n_reads: int, n_targets: int):
+    """Dense per-read count matrix [n_reads, n_targets+1] from per-query
+    (label+1) values (0 = miss, accumulated in ignored column 0)."""
+    ids = read_id * (n_targets + 1) + labels1
+    flat = jax.ops.segment_sum(
+        jnp.ones_like(ids, dtype=jnp.int32),
+        ids,
+        num_segments=n_reads * (n_targets + 1),
+    )
+    return flat.reshape(n_reads, n_targets + 1)
+
+
+def read_results(counts: jnp.ndarray):
+    """counts[:, 1:] -> (total, index_best, best, index_sbest, s_best).
+
+    Exact reference semantics: ties on count resolve to the LOWEST target
+    index; indexBest is 0 when no target was hit.
+    """
+    t = counts[:, 1:]  # [R, T]
+    total = jnp.sum(t, axis=1)
+    n_targets = t.shape[1]
+    tidx = jnp.arange(n_targets, dtype=jnp.int32)
+
+    best = jnp.max(t, axis=1)
+    ibest = jnp.argmax(t, axis=1).astype(jnp.int32)  # argmax returns first max
+    # second best: mask out the best element, take the next (count desc, idx asc)
+    masked = jnp.where(tidx[None, :] == ibest[:, None], -1, t)
+    sbest = jnp.max(masked, axis=1)
+    isbest = jnp.argmax(masked, axis=1).astype(jnp.int32)
+    sbest = jnp.maximum(sbest, 0)
+
+    index_best = jnp.where(best > 0, ibest + 1, 0)
+    index_sbest = jnp.where(sbest > 0, isbest + 1, 0)
+    return total, index_best, best, index_sbest, sbest

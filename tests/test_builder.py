@@ -1,0 +1,176 @@
+"""DB builder vs. independent oracle: discriminative k-mer selection,
+multiplicity rules, light-mode gap sampling."""
+
+import numpy as np
+import pytest
+
+from jn_cuclark_tpu import params
+from jn_cuclark_tpu.db import builder
+from jn_cuclark_tpu.io import dbformat
+from jn_cuclark_tpu.io.targets import TargetsDef, parse_targets
+
+from . import oracle
+
+
+def write_fasta(path, records, width=0):
+    with open(path, "w") as f:
+        for name, seq in records:
+            f.write(f">{name}\n")
+            if width:
+                for i in range(0, len(seq), width):
+                    f.write(seq[i : i + width] + "\n")
+            else:
+                f.write(seq + "\n")
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+@pytest.fixture
+def toy(tmp_path):
+    rng = np.random.default_rng(7)
+    genomes = {
+        "g1": rand_seq(rng, 500),
+        "g2": rand_seq(rng, 400),
+        "g3": rand_seq(rng, 300),
+    }
+    # introduce shared subsequence between g1 and g2 (common k-mers)
+    shared = rand_seq(rng, 60)
+    genomes["g1"] += shared
+    genomes["g2"] += shared
+    files = {}
+    for name, seq in genomes.items():
+        p = tmp_path / f"{name}.fa"
+        write_fasta(p, [(name, seq)], width=70)
+        files[name] = str(p)
+    tpath = tmp_path / "targets.txt"
+    with open(tpath, "w") as f:
+        f.write(f"{files['g1']} 1001\n{files['g2']} 1002\n{files['g3']} 1003\n")
+    return tmp_path, tpath, genomes
+
+
+def test_build_matches_oracle(toy, tmp_path):
+    folder, tpath, genomes = toy
+    k = 9
+    prof = params.tiny(htsize=1021, k=k)
+    targets = parse_targets(str(tpath))
+    db = builder.build_database(targets, str(folder), prof, k)
+
+    want = oracle.build_db(
+        [(genomes["g1"], 0), (genomes["g2"], 1), (genomes["g3"], 2)],
+        k,
+        label_names=targets.labels,
+    )
+    got = dict(zip(db.canonical.tolist(), db.labels.tolist()))
+    assert got == want
+    # the shared block must have produced some common (dropped) k-mers
+    assert db.n_mother > len(got)
+
+    # on-disk round trip
+    stem = str(folder / prof.db_stem(k, 3, 0, prof.default_gap))
+    assert dbformat.db_exists(stem)
+    c2, l2 = dbformat.read_db(stem, prof, k)
+    assert dict(zip(c2.tolist(), l2.tolist())) == want
+
+
+def test_build_light_gap(toy):
+    folder, tpath, genomes = toy
+    k = 9
+    prof = params.tiny(htsize=1021, light=True, k=k, gap=4)
+    targets = parse_targets(str(tpath))
+    db = builder.build_database(targets, str(folder), prof, k, gap=4)
+    want = oracle.build_db(
+        [(genomes["g1"], 0), (genomes["g2"], 1), (genomes["g3"], 2)],
+        k,
+        light=True,
+        gap=4,
+        label_names=targets.labels,
+    )
+    got = dict(zip(db.canonical.tolist(), db.labels.tolist()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_light_counter_spans_records(tmp_path):
+    """The light-mode gap counter is per-file, continuing across records."""
+    k = 5
+    rng = np.random.default_rng(3)
+    recs = [("r1", rand_seq(rng, 23)), ("r2", rand_seq(rng, 17))]
+    p = tmp_path / "t.fa"
+    write_fasta(p, recs)
+    with open(p, "rb") as f:
+        occ = builder.extract_occurrences(f.read(), k, light=True, gap=3)
+    concat = recs[0][1] + "\x00" + recs[1][1]
+    kmers = oracle.nonoverlap_kmers(concat, k)
+    want = [v for j, v in enumerate(kmers) if j % 3 == 0]
+    assert list(occ.canonical) == want
+
+
+def test_multiline_fasta_windows_cross_lines(tmp_path):
+    """K-mers span line breaks inside a record (newlines are not breaks)."""
+    k = 9
+    rng = np.random.default_rng(5)
+    seq = rand_seq(rng, 100)
+    p = tmp_path / "t.fa"
+    write_fasta(p, [("x", seq)], width=10)
+    with open(p, "rb") as f:
+        occ = builder.extract_occurrences(f.read(), k, light=False, gap=0)
+    assert list(occ.canonical) == oracle.seq_kmers(seq, k)
+
+
+def test_invalid_chars_break_runs(tmp_path):
+    k = 7
+    seq = "ACGTACGTACNGTACGTACGT"
+    p = tmp_path / "t.fa"
+    write_fasta(p, [("x", seq)])
+    with open(p, "rb") as f:
+        occ = builder.extract_occurrences(f.read(), k, light=False, gap=0)
+    assert list(occ.canonical) == oracle.seq_kmers(seq, k)
+
+
+def test_min_count_target(tmp_path):
+    """count > minT filter: a k-mer must occur more than minT times."""
+    k = 5
+    # one repeated kmer (3x) and the rest unique-ish
+    seq = "AACCGTTGCAACCGTCCCTTAACCGT"  # contains 'AACCG' three times
+    p = tmp_path / "t.fa"
+    write_fasta(p, [("x", seq)])
+    tpath = tmp_path / "targets.txt"
+    with open(tpath, "w") as f:
+        f.write(f"{p} 77\n")
+    prof = params.tiny(htsize=1021, k=k)
+    targets = parse_targets(str(tpath))
+    db2 = builder.build_database(targets, str(tmp_path), prof, k, min_count_target=2)
+    want = oracle.build_db([(seq, 0)], k, min_count_target=2, label_names=["77"])
+    assert dict(zip(db2.canonical.tolist(), db2.labels.tolist())) == want
+    assert len(db2.canonical) >= 1  # the triple-repeat survives
+
+
+def test_centromere_labels(tmp_path):
+    """Third targets.txt column: multiplicity-2 k-mers with a matching
+    centromere label are kept and relabeled."""
+    k = 5
+    rng = np.random.default_rng(11)
+    shared = rand_seq(rng, 40)
+    s1 = rand_seq(rng, 60) + shared
+    s2 = rand_seq(rng, 60) + shared
+    p1, p2 = tmp_path / "a.fa", tmp_path / "b.fa"
+    write_fasta(p1, [("a", s1)])
+    write_fasta(p2, [("b", s2)])
+    tpath = tmp_path / "targets.txt"
+    # labels chr1A / chr1B share the prefix "chr1"; centromere label chr1C
+    with open(tpath, "w") as f:
+        f.write(f"{p1} chr1A chr1C\n{p2} chr1B chr1C\n")
+    prof = params.tiny(htsize=1021, k=k)
+    targets = parse_targets(str(tpath))
+    db = builder.build_database(targets, str(tmp_path), prof, k)
+    got = dict(zip(db.canonical.tolist(), db.labels.tolist()))
+    # shared kmers get multiplicity 2 (same prefix) -> relabeled to chr1C (idx 2)
+    c_idx = targets.label_index["chr1C"]
+    shared_kmers = set(oracle.seq_kmers(shared, k))
+    only1 = set(oracle.seq_kmers(s1, k)) - set(oracle.seq_kmers(s2, k))
+    assert any(got.get(v) == c_idx for v in shared_kmers)
+    for v in only1:
+        if v in got:
+            assert got[v] == 0

@@ -1,0 +1,62 @@
+"""Sharded-DB classification over a virtual 8-device mesh must produce
+identical results to the single-device path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from jn_cuclark_tpu import params
+from jn_cuclark_tpu.db import builder
+from jn_cuclark_tpu.engine import BatchPlan, Classifier
+from jn_cuclark_tpu.io.targets import parse_targets
+from jn_cuclark_tpu.parallel.mesh import make_mesh
+
+from .test_builder import rand_seq, write_fasta
+
+K = 9
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("meshdb")
+    rng = np.random.default_rng(9)
+    genomes = [rand_seq(rng, 600) for _ in range(4)]
+    with open(tmp_path / "targets.txt", "w") as tf:
+        for i, g in enumerate(genomes):
+            p = tmp_path / f"g{i}.fa"
+            write_fasta(p, [(f"g{i}", g)])
+            tf.write(f"{p} {2000 + i}\n")
+    prof = params.tiny(htsize=4093, k=K)
+    targets = parse_targets(str(tmp_path / "targets.txt"))
+    builder.build_database(targets, str(tmp_path), prof, K)
+    reads = []
+    for i in range(200):
+        g = genomes[i % 4]
+        pos = rng.integers(0, len(g) - 80)
+        reads.append((f"r{i}", g[pos : pos + 80]))
+    fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
+    return tmp_path, prof, targets, fa
+
+
+def test_mesh_matches_single(db):
+    tmp_path, prof, targets, fa = db
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    plan = BatchPlan(max_queries=1 << 14, max_reads=256)
+    single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
+    rows1 = list(single.classify_bytes(fa)[0])
+
+    mesh = make_mesh()
+    sharded = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, mesh=mesh)
+    rows8 = list(sharded.classify_bytes(fa)[0])
+    assert rows1 == rows8
+
+
+def test_mesh_subset_devices(db):
+    tmp_path, prof, targets, fa = db
+    plan = BatchPlan(max_queries=1 << 14, max_reads=256)
+    single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
+    rows1 = list(single.classify_bytes(fa)[0])
+    mesh = make_mesh(n_devices=3)
+    sharded = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, mesh=mesh)
+    assert rows1 == list(sharded.classify_bytes(fa)[0])
