@@ -1,0 +1,95 @@
+"""Benchmark: end-to-end classification throughput (reads/sec/chip).
+
+Workload = BASELINE.md config 1 scaled up: toy bacterial DB (3 synthetic
+genomes), k=27 light-style profile, simulated 150 bp reads.  Measures the
+steady-state wall-clock of the full pipeline (parse -> canonicalize ->
+device lookup/score -> CSV rows) after a warmup pass, on whatever device JAX
+provides (TPU under the driver; CPU locally with JAX_PLATFORMS=cpu).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is vs. the
+first recorded value of this same bench (BENCH_BASELINE.json, committed once
+measured); 1.0 until then.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_workload(tmpdir, n_reads=20000, read_len=150, genome_len=200_000, seed=0):
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    rng = np.random.default_rng(seed)
+    prof = params.LIGHT  # real cuCLARK-l table size (57,777,779 buckets)
+    k = prof.default_k
+    genomes = []
+    with open(os.path.join(tmpdir, "targets.txt"), "w") as tf:
+        for i in range(3):
+            seq = "".join(rng.choice(list("ACGT"), size=genome_len))
+            genomes.append(seq)
+            p = os.path.join(tmpdir, f"g{i}.fa")
+            with open(p, "w") as f:
+                f.write(f">g{i}\n")
+                for j in range(0, len(seq), 70):
+                    f.write(seq[j : j + 70] + "\n")
+            tf.write(f"{p} {1000 + i}\n")
+    targets = parse_targets(os.path.join(tmpdir, "targets.txt"))
+    builder.build_database(targets, tmpdir, prof, k)
+
+    reads = []
+    for i in range(n_reads):
+        g = genomes[i % 3]
+        pos = rng.integers(0, len(g) - read_len)
+        reads.append((f"r{i}", g[pos : pos + read_len]))
+    fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
+    return prof, k, targets, fa
+
+
+def main():
+    import tempfile
+
+    import jn_cuclark_tpu  # noqa: F401
+    from jn_cuclark_tpu.engine import BatchPlan, Classifier
+
+    n_reads = int(os.environ.get("BENCH_READS", "20000"))
+    with tempfile.TemporaryDirectory() as td:
+        prof, k, targets, fa = make_workload(td, n_reads=n_reads)
+        clf = Classifier.load(
+            td, targets, prof, k, plan=BatchPlan(max_queries=1 << 21, max_reads=1 << 14)
+        )
+        # warmup (compile)
+        for _ in clf.classify_bytes(fa[: len(fa) // 4])[0]:
+            pass
+        t0 = time.time()
+        n = 0
+        for _ in clf.classify_bytes(fa)[0]:
+            n += 1
+        dt = time.time() - t0
+    reads_per_sec = n / dt
+
+    base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        base = json.load(open(base_path))
+        if base.get("value"):
+            vs = reads_per_sec / base["value"]
+    print(
+        json.dumps(
+            {
+                "metric": "classification_reads_per_sec_per_chip",
+                "value": round(reads_per_sec, 2),
+                "unit": "reads/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
