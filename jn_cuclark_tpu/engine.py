@@ -3,14 +3,19 @@
 Replaces the reference's CuCLARK engine hot path (CuCLARK_hh.hh:1335-1783
 getObjectsDataComputeFullGPU + printExtendedResultsSynced:1946-2122):
 
-  host (numpy): mmap + vectorized read scan, window extraction, canonical
-                k-mer values;
-  device (jit): sorted-index lookup + per-read count/top-2 reductions,
-                optionally sharded over a `Mesh` axis with psum merging;
+  host (numpy): mmap + vectorized read scan, 2-bit/validity packing into
+                fixed-stride [R, S] rows (ops/pack.py);
+  device (jit): window extraction + canonicalization (VPU, no gathers) +
+                radix-table probe (2 row gathers) + per-read count/top-2
+                reductions (ops/device_pipeline.py), optionally sharded over
+                a `Mesh` axis with psum merging;
   host:         Gamma/Confidence in doubles and C-printf `%g` CSV formatting,
                 byte-identical to the reference
                 (Gamma = sum / (len - k + 1), Confidence = best/(best+s_best),
                  CuCLARK_hh.hh:2042-2051, 2110-2118).
+
+A slower flat-query path (sorted-array binary search, ops/lookup.py) is kept
+for cross-checking (`packed=False`).
 """
 
 from __future__ import annotations
@@ -28,16 +33,17 @@ from .io import dbformat
 from .io.fasta import ReadSet, merge_paired, parse_reads, window_starts
 from .io.targets import TargetsDef, parse_targets
 from .kmer import canonical_u64, window_values_le
-from .ops import lookup, score
+from .ops import device_pipeline, lookup, pack, radix_table, score
 from .params import NBN, Profile
 
 
 @dataclasses.dataclass
 class BatchPlan:
-    """Fixed device shapes; the same jitted executable serves every batch."""
+    """Fixed device shapes; the same jitted executables serve every batch."""
 
-    max_queries: int = 1 << 20
-    max_reads: int = 1 << 14
+    max_queries: int = 1 << 20  # flat path: query slots per batch
+    max_reads: int = 1 << 14  # reads per batch
+    window_budget: int = 1 << 22  # packed path: R*stride char slots per batch
 
 
 class Classifier:
@@ -52,6 +58,7 @@ class Classifier:
         labels: np.ndarray,
         plan: BatchPlan | None = None,
         mesh: jax.sharding.Mesh | None = None,
+        packed: bool = True,
     ):
         self.profile = profile
         self.k = k
@@ -59,20 +66,55 @@ class Classifier:
         self.n_targets = len(target_names) - 1  # names include NA at 0
         self.plan = plan or BatchPlan()
         self.mesh = mesh
+        self.packed = packed
 
-        keys, labels1 = lookup.prepare_index(canonical, labels)
-        if mesh is not None:
-            from .parallel.mesh import shard_index
-
-            self.keys, self.labels1, self.query_fn = shard_index(
-                mesh, keys, labels1, self.n_targets, self.plan
+        if packed:
+            table = radix_table.build(
+                np.asarray(canonical, dtype=np.uint64),
+                np.asarray(labels, dtype=np.int32) + 1,
             )
+            self.table_meta = dict(m1=table.m1, m2=table.m2, c=table.slot_width)
+            if mesh is not None:
+                from .parallel.mesh import shard_radix_table
+
+                (self.t1, self.t2, self.lab_flat), self.batch_fn = shard_radix_table(
+                    mesh, table, self.n_targets, self.k
+                )
+            else:
+                self.t1 = jax.device_put(table.t1_keys)
+                self.t2 = jax.device_put(table.t2_keys)
+                self.lab_flat = jax.device_put(table.labels)
+                meta = self.table_meta
+
+                def batch_fn(words, vwords):
+                    return device_pipeline.classify_batch(
+                        self.t1,
+                        self.t2,
+                        self.lab_flat,
+                        words,
+                        vwords,
+                        k=self.k,
+                        n_targets=self.n_targets,
+                        **meta,
+                    )
+
+                self.batch_fn = batch_fn
         else:
-            self.keys = jnp.asarray(keys)
-            self.labels1 = jnp.asarray(labels1)
-            self.query_fn = functools.partial(
-                _query_single, n_targets=self.n_targets, max_reads=self.plan.max_reads
-            )
+            keys, labels1 = lookup.prepare_index(canonical, labels)
+            if mesh is not None:
+                from .parallel.mesh import shard_index
+
+                self.keys, self.labels1, self.query_fn = shard_index(
+                    mesh, keys, labels1, self.n_targets, self.plan
+                )
+            else:
+                self.keys = jnp.asarray(keys)
+                self.labels1 = jnp.asarray(labels1)
+                self.query_fn = functools.partial(
+                    _query_single,
+                    n_targets=self.n_targets,
+                    max_reads=self.plan.max_reads,
+                )
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -87,6 +129,7 @@ class Classifier:
         gap: int | None = None,
         plan: BatchPlan | None = None,
         mesh: jax.sharding.Mesh | None = None,
+        packed: bool = True,
     ) -> "Classifier":
         if isinstance(targets, str):
             targets = parse_targets(targets)
@@ -97,7 +140,14 @@ class Classifier:
         )
         canonical, labels = dbformat.read_db(stem, profile, k, sampling_factor)
         return cls(
-            profile, k, targets.target_names, canonical, labels, plan=plan, mesh=mesh
+            profile,
+            k,
+            targets.target_names,
+            canonical,
+            labels,
+            plan=plan,
+            mesh=mesh,
+            packed=packed,
         )
 
     # -------------------------------------------------------------- classify
@@ -159,6 +209,91 @@ class Classifier:
         return (",".join(cols) + "\n").encode()
 
     def _classify_readset(self, rs: ReadSet, paired: bool, extended: bool):
+        if self.packed:
+            yield from self._classify_packed(rs, paired, extended)
+        else:
+            yield from self._classify_flat(rs, paired, extended)
+
+    # ------------------------------------------------------- packed pipeline
+    def _plan_batches(self, lengths: np.ndarray):
+        """Order-preserving batch boundaries with SHAPE-STABLE (R, stride):
+        stride is quantized and R is always window_budget//stride (padded),
+        so each stride tier compiles exactly once (axon/TPU recompiles are
+        expensive)."""
+        budget = self.plan.window_budget
+        n_reads = len(lengths)
+        r0 = 0
+        while r0 < n_reads:
+            stride = pack.quantized_stride(max(int(lengths[r0]), 1))
+            if stride > budget:
+                raise RuntimeError(
+                    f"read of length {lengths[r0]} exceeds window budget {budget}"
+                )
+            r_cap = max(min(self.plan.max_reads, budget // stride), 1)
+            # widen stride to cover the longest read in the candidate chunk
+            while True:
+                r1 = min(r0 + r_cap, n_reads)
+                s2 = pack.quantized_stride(int(lengths[r0:r1].max()))
+                if s2 <= stride:
+                    break
+                stride = s2
+                r_cap = max(min(self.plan.max_reads, budget // stride), 1)
+            yield r0, r1, stride, r_cap
+            r0 = r1
+
+    def _classify_packed(self, rs: ReadSet, paired: bool, extended: bool):
+        k = self.k
+        lengths = rs.read_lengths
+        norm = lengths - (NBN if paired else 0)
+        n_reads = rs.n_reads
+        names = [rs.name(i) for i in range(n_reads)]
+
+        def dispatch(r0, r1, stride, r_cap):
+            words, vwords = pack.pack_batch(rs, r0, r1, stride)
+            if r1 - r0 < r_cap:  # pad rows to the tier's fixed shape
+                padw = np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)
+                words = np.concatenate([words, padw])
+                vwords = np.concatenate(
+                    [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
+                )
+            return (r0, r1), self.batch_fn(jnp.asarray(words), jnp.asarray(vwords))
+
+        # async pipeline: keep up to DEPTH batches in flight (jax dispatch is
+        # async; fetching np.asarray(...) blocks only the oldest batch)
+        DEPTH = 2
+        inflight: list = []
+        plan = self._plan_batches(lengths)
+
+        def drain(entry):
+            (r0, r1), (total, ib, b, sb, counts) = entry
+            total = np.asarray(total)
+            ib = np.asarray(ib)
+            b = np.asarray(b)
+            sb = np.asarray(sb)
+            counts_h = np.asarray(counts) if extended else None
+            for i in range(r1 - r0):
+                g = r0 + i
+                yield _format_row(
+                    names[g],
+                    int(total[i]),
+                    int(ib[i]),
+                    int(b[i]),
+                    int(sb[i]),
+                    int(norm[g]),
+                    k,
+                    self.target_names,
+                    counts_h[i] if extended else None,
+                )
+
+        for spec in plan:
+            inflight.append(dispatch(*spec))
+            if len(inflight) > DEPTH:
+                yield from drain(inflight.pop(0))
+        for entry in inflight:
+            yield from drain(entry)
+
+    # --------------------------------------------------------- flat pipeline
+    def _classify_flat(self, rs: ReadSet, paired: bool, extended: bool):
         k = self.k
         starts, rid = window_starts(rs, k)
         codes = np.where(rs.codes >= 0, rs.codes, 0).astype(np.int8)
@@ -166,11 +301,10 @@ class Classifier:
 
         lengths = rs.read_lengths
         norm = lengths - (NBN if paired else 0)
-        names = _read_names(rs)
+        names = [rs.name(i) for i in range(rs.n_reads)]
 
         QCAP, RCAP = self.plan.max_queries, self.plan.max_reads
         n_reads = rs.n_reads
-        # window count per read for batching
         wcount = np.bincount(rid, minlength=n_reads)
         woff = np.concatenate([[0], np.cumsum(wcount)])
 
@@ -178,7 +312,6 @@ class Classifier:
         while r0 < n_reads:
             r1 = min(r0 + RCAP, n_reads)
             if woff[r1] - woff[r0] > QCAP:
-                # largest r with woff[r] - woff[r0] <= QCAP
                 r1 = int(np.searchsorted(woff, woff[r0] + QCAP, side="right")) - 1
                 r1 = min(max(r1, r0 + 1), n_reads)
             nq = int(woff[r1] - woff[r0])
@@ -192,14 +325,14 @@ class Classifier:
             q[:nq] = qvals[woff[r0] : woff[r1]]
             qr[:nq] = (rid[woff[r0] : woff[r1]] - r0).astype(np.int32)
 
-            total, ibest, best, sbest, counts = self.query_fn(
-                self.keys, self.labels1, jnp.asarray(q), jnp.asarray(qr),
+            total, ib, b, sb, counts = self.query_fn(
+                self.keys, self.labels1, jnp.asarray(q), jnp.asarray(qr)
             )
             nb = r1 - r0
             total = np.asarray(total)[:nb]
-            ibest = np.asarray(ibest)[:nb]
-            best = np.asarray(best)[:nb]
-            sbest = np.asarray(sbest)[:nb]
+            ib = np.asarray(ib)[:nb]
+            b = np.asarray(b)[:nb]
+            sb = np.asarray(sb)[:nb]
             counts_h = np.asarray(counts)[:nb] if extended else None
 
             for i in range(nb):
@@ -207,19 +340,15 @@ class Classifier:
                 yield _format_row(
                     names[g],
                     int(total[i]),
-                    int(ibest[i]),
-                    int(best[i]),
-                    int(sbest[i]),
+                    int(ib[i]),
+                    int(b[i]),
+                    int(sb[i]),
                     int(norm[g]),
                     k,
                     self.target_names,
                     counts_h[i] if extended else None,
                 )
             r0 = r1
-
-
-def _read_names(rs: ReadSet) -> list[bytes]:
-    return [rs.name(i) for i in range(rs.n_reads)]
 
 
 def _format_row(
@@ -253,7 +382,7 @@ def _format_row(
 
 def _g(x: float) -> bytes:
     """C printf %g formatting (Python's %g matches)."""
-    return (b"%g" % x)
+    return b"%g" % x
 
 
 # ------------------------------------------------------------------ device fn

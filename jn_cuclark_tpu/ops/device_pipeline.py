@@ -1,0 +1,90 @@
+"""Fused device classification pipeline (plain JAX, gather-minimal).
+
+windows-from-packed-words -> Jellyfish canonicalization -> radix-table probe
+-> per-read counts -> top-2 results.  Everything except the 3 probe gathers
+is pure VPU work on [R, S] grids; window values are reconstructed with
+`repeat` + shifts (no gathers), reproducing exactly the k-mer set the
+reference counts (all length-k windows of valid chars within a read,
+CuClarkDB.cu:1042-1117).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import radix_table, score
+
+
+def window_canonicals(words, vwords, k: int):
+    """[R, S] canonical window values + validity from packed rows.
+
+    words:  [R, S/32 + 1] uint64 (2-bit codes, first char lowest bits)
+    vwords: [R, S/64 + 1] uint64 (validity bits, first char lowest bit)
+    """
+    R, Wp1 = words.shape
+    W = Wp1 - 1
+    S = W * 32
+
+    w0 = jnp.repeat(words[:, :W], 32, axis=1)  # word containing char p
+    w1 = jnp.repeat(words[:, 1:], 32, axis=1)  # next word
+    off = (jnp.arange(S, dtype=jnp.uint64) & jnp.uint64(31)) * jnp.uint64(2)
+    off = off[None, :]
+    lo = w0 >> off
+    hi = jnp.where(off == 0, jnp.uint64(0), w1 << (jnp.uint64(64) - off))
+    val = lo | hi
+    if k < 32:
+        val = val & jnp.uint64((1 << (2 * k)) - 1)
+
+    Wv = vwords.shape[1] - 1
+    v0 = jnp.repeat(vwords[:, :Wv], 64, axis=1)
+    v1 = jnp.repeat(vwords[:, 1:], 64, axis=1)
+    voff = (jnp.arange(S, dtype=jnp.uint64) & jnp.uint64(63))[None, :]
+    vbits = (v0 >> voff) | jnp.where(
+        voff == 0, jnp.uint64(0), v1 << (jnp.uint64(64) - voff)
+    )
+    kmask = jnp.uint64((1 << k) - 1)
+    valid = (vbits & kmask) == kmask
+
+    canon = jnp.minimum(val, _revcomp(val, k))
+    return canon, valid
+
+
+def _revcomp(v, k: int):
+    """Jellyfish bit-twiddle on uint64 (kmersConversion.cc:39-47)."""
+    x = v
+    x = ((x >> jnp.uint64(2)) & jnp.uint64(0x3333333333333333)) | (
+        (x & jnp.uint64(0x3333333333333333)) << jnp.uint64(2)
+    )
+    x = ((x >> jnp.uint64(4)) & jnp.uint64(0x0F0F0F0F0F0F0F0F)) | (
+        (x & jnp.uint64(0x0F0F0F0F0F0F0F0F)) << jnp.uint64(4)
+    )
+    x = ((x >> jnp.uint64(8)) & jnp.uint64(0x00FF00FF00FF00FF)) | (
+        (x & jnp.uint64(0x00FF00FF00FF00FF)) << jnp.uint64(8)
+    )
+    x = ((x >> jnp.uint64(16)) & jnp.uint64(0x0000FFFF0000FFFF)) | (
+        (x & jnp.uint64(0x0000FFFF0000FFFF)) << jnp.uint64(16)
+    )
+    x = (x >> jnp.uint64(32)) | (x << jnp.uint64(32))
+    return (jnp.uint64(0xFFFFFFFFFFFFFFFF) - x) >> jnp.uint64(64 - 2 * k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m1", "m2", "c", "n_targets")
+)
+def classify_batch(
+    t1_keys, t2_keys, labels, words, vwords, *, k, m1, m2, c, n_targets
+):
+    """Full single-device batch step; returns (total, ibest, best, sbest,
+    counts[R, T+1])."""
+    canon, valid = window_canonicals(words, vwords, k)
+    q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
+    lab = radix_table.probe(t1_keys, t2_keys, labels, q, m1=m1, m2=m2, c=c)
+    lab = jnp.where(valid.ravel(), lab, 0)
+    R, S = valid.shape
+    rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
+    counts = score.counts_from_hits(lab, rid, R, n_targets)
+    total, ib, b, isb, sb = score.read_results(counts)
+    return total, ib, b, sb, counts

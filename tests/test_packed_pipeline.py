@@ -1,0 +1,77 @@
+"""Packed device pipeline must match the flat (binary-search) path exactly."""
+
+import numpy as np
+import pytest
+
+from jn_cuclark_tpu import params
+from jn_cuclark_tpu.db import builder
+from jn_cuclark_tpu.engine import BatchPlan, Classifier
+from jn_cuclark_tpu.io.targets import parse_targets
+
+from .test_builder import rand_seq, write_fasta
+
+K = 9
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("pk")
+    rng = np.random.default_rng(21)
+    genomes = [rand_seq(rng, 700) for _ in range(3)]
+    with open(tmp_path / "targets.txt", "w") as tf:
+        for i, g in enumerate(genomes):
+            p = tmp_path / f"g{i}.fa"
+            write_fasta(p, [(f"g{i}", g)], width=60)
+            tf.write(f"{p} {3000 + i}\n")
+    prof = params.tiny(htsize=4093, k=K)
+    targets = parse_targets(str(tmp_path / "targets.txt"))
+    builder.build_database(targets, str(tmp_path), prof, K)
+    # heterogeneous read lengths incl. N's, shorts, empties-ish
+    reads = []
+    for i in range(150):
+        g = genomes[i % 3]
+        ln = int(rng.integers(20, 300))
+        pos = rng.integers(0, max(len(g) - ln, 1))
+        s = g[pos : pos + ln]
+        if i % 6 == 0 and len(s) > 40:
+            s = s[:20] + "N" + s[21:]
+        reads.append((f"r{i}", s))
+    reads.append(("tiny", "ACG"))
+    reads.append(("longish", rand_seq(rng, 1500)))
+    fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
+    return tmp_path, prof, targets, fa
+
+
+def test_packed_equals_flat(setup):
+    tmp_path, prof, targets, fa = setup
+    plan = BatchPlan(max_queries=1 << 15, max_reads=64, window_budget=1 << 14)
+    flat = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=False)
+    packed = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=True)
+    rows_f = list(flat.classify_bytes(fa)[0])
+    rows_p = list(packed.classify_bytes(fa)[0])
+    assert rows_f == rows_p
+
+
+def test_packed_extended_equals_flat(setup):
+    tmp_path, prof, targets, fa = setup
+    plan = BatchPlan(max_queries=1 << 15, max_reads=64, window_budget=1 << 14)
+    flat = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=False)
+    packed = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=True)
+    rows_f = list(flat.classify_bytes(fa, extended=True)[0])
+    rows_p = list(packed.classify_bytes(fa, extended=True)[0])
+    assert rows_f == rows_p
+
+
+def test_packed_mesh_equals_single(setup):
+    tmp_path, prof, targets, fa = setup
+    from jn_cuclark_tpu.parallel.mesh import make_mesh
+
+    plan = BatchPlan(window_budget=1 << 14)
+    single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
+    rows1 = list(single.classify_bytes(fa)[0])
+    for nd in (8, 3):
+        mesh = make_mesh(nd)
+        sharded = Classifier.load(
+            str(tmp_path), targets, prof, K, plan=plan, mesh=mesh
+        )
+        assert rows1 == list(sharded.classify_bytes(fa)[0]), f"ndev={nd}"
