@@ -59,6 +59,7 @@ class Classifier:
         plan: BatchPlan | None = None,
         mesh: jax.sharding.Mesh | None = None,
         packed: bool = True,
+        use_native: bool = True,
     ):
         self.profile = profile
         self.k = k
@@ -67,6 +68,7 @@ class Classifier:
         self.plan = plan or BatchPlan()
         self.mesh = mesh
         self.packed = packed
+        self.use_native = use_native
 
         if packed:
             table = radix_table.build(
@@ -130,6 +132,7 @@ class Classifier:
         plan: BatchPlan | None = None,
         mesh: jax.sharding.Mesh | None = None,
         packed: bool = True,
+        use_native: bool = True,
     ) -> "Classifier":
         if isinstance(targets, str):
             targets = parse_targets(targets)
@@ -148,14 +151,24 @@ class Classifier:
             plan=plan,
             mesh=mesh,
             packed=packed,
+            use_native=use_native,
         )
 
     # -------------------------------------------------------------- classify
     def classify_bytes(self, data: bytes, paired: bool = False, extended: bool = False):
         """Classify one in-memory FASTA/FASTQ file; returns (rows, n_reads).
 
-        rows is a generator of formatted CSV body lines (bytes).
+        rows is a generator of formatted CSV body chunks (bytes, one or more
+        whole lines per chunk).
         """
+        from .utils import native as _native
+
+        if self.packed and self.use_native and _native.available():
+            is_fa, ns, ne, ss, se, ln = _native.scan_reads(data)
+            gen = self._classify_native(
+                data, ns, ne, ss, se, ln, paired=paired, extended=extended
+            )
+            return gen, len(ln)
         rs = parse_reads(data)
         return self._classify_readset(rs, paired=paired, extended=extended), rs.n_reads
 
@@ -213,6 +226,57 @@ class Classifier:
             yield from self._classify_packed(rs, paired, extended)
         else:
             yield from self._classify_flat(rs, paired, extended)
+
+    # ---------------------------------------------------- native host path
+    def _classify_native(self, data, ns, ne, ss, se, lengths, paired, extended):
+        """Host side fully in C++ (scan/pack/format); device step unchanged."""
+        from .utils import native as _native
+
+        k = self.k
+        norm = lengths - (NBN if paired else 0)
+        names_buf = self._names_buffer()
+
+        def dispatch(r0, r1, stride, r_cap):
+            words, vwords = _native.pack_batch(data, ss[r0:r1], se[r0:r1], stride)
+            if r1 - r0 < r_cap:
+                words = np.concatenate(
+                    [words, np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)]
+                )
+                vwords = np.concatenate(
+                    [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
+                )
+            return (r0, r1), self.batch_fn(jnp.asarray(words), jnp.asarray(vwords))
+
+        def drain(entry):
+            (r0, r1), (total, ib, b, sb, counts) = entry
+            nb = r1 - r0
+            total = np.asarray(total)[:nb]
+            ib = np.asarray(ib)[:nb]
+            b = np.asarray(b)[:nb]
+            sb = np.asarray(sb)[:nb]
+            counts_h = np.asarray(counts)[:nb] if extended else None
+            return _native.format_rows(
+                data, ns[r0:r1], ne[r0:r1], total, ib, b, sb, norm[r0:r1], k,
+                names_buf,
+                counts=counts_h,
+                n_targets=self.n_targets if extended else 0,
+            )
+
+        DEPTH = 2
+        inflight: list = []
+        for spec in self._plan_batches(lengths):
+            inflight.append(dispatch(*spec))
+            if len(inflight) > DEPTH:
+                yield drain(inflight.pop(0))
+        for entry in inflight:
+            yield drain(entry)
+
+    def _names_buffer(self):
+        from .utils import native as _native
+
+        if not hasattr(self, "_names_buf"):
+            self._names_buf = _native.NamesBuffer(self.target_names)
+        return self._names_buf
 
     # ------------------------------------------------------- packed pipeline
     def _plan_batches(self, lengths: np.ndarray):
@@ -363,7 +427,11 @@ def _format_row(
     counts_row: np.ndarray | None,
 ) -> bytes:
     # Gamma/Confidence exactly as CuCLARK_hh.hh:2042-2051 (double math, %g)
-    gamma = float(total) / (float(norm) - k + 1.0)
+    denom = float(norm) - k + 1.0
+    if denom == 0.0:
+        # C prints 0.0/0.0 as "-nan" (glibc); match it byte-for-byte
+        return _format_row_nan(name, best, target_names, counts_row)
+    gamma = float(total) / denom
     delta = float(best + s_best)
     conf = 0.0 if delta < 0.001 else float(best) / delta
     ext = b""
@@ -378,6 +446,13 @@ def _format_row(
         best,
         _g(conf),
     )
+
+
+def _format_row_nan(name, best, target_names, counts_row) -> bytes:
+    ext = b""
+    if counts_row is not None:
+        ext = b"".join(b",%d" % int(c) for c in counts_row[1:])
+    return b"%s%s,-nan,%s,%u,0\n" % (name, ext, target_names[0].encode(), best)
 
 
 def _g(x: float) -> bytes:

@@ -1,0 +1,169 @@
+"""ctypes bindings for the native C++ runtime (native/libclark_native.so).
+
+Optional: every entry point has a pure-numpy fallback in the package; callers
+check `available()` first.  Build with `make -C native`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libclark_native.so",
+    )
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _lib = None
+        return None
+    lib.scan_fasta.restype = ctypes.c_int64
+    lib.scan_fasta.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int64] + [_I64P] * 5
+    lib.scan_fastq.restype = ctypes.c_int64
+    lib.scan_fastq.argtypes = lib.scan_fasta.argtypes
+    lib.pack_batch.restype = None
+    lib.pack_batch.argtypes = [
+        _U8P, ctypes.c_int64, _I64P, _I64P, ctypes.c_int64, _U64P, _U64P,
+    ]
+    lib.format_rows.restype = ctypes.c_int64
+    lib.format_rows.argtypes = [
+        _U8P, _I64P, _I64P, _I32P, _I32P, _I32P, _I32P, _I64P,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p, _I64P,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.format_rows_extended.restype = ctypes.c_int64
+    lib.format_rows_extended.argtypes = [
+        _U8P, _I64P, _I64P, _I32P, _I32P, _I32P, _I32P, _I32P, _I64P,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, _I64P,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8(data) -> tuple[np.ndarray, _U8P]:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr, arr.ctypes.data_as(_U8P)
+
+
+def _p(a, tp):
+    return a.ctypes.data_as(tp)
+
+
+def scan_reads(data: bytes):
+    """(is_fasta, name_start, name_end, seq_start, seq_end, length)."""
+    lib = _load()
+    arr, dp = _u8(data)
+    n = len(arr)
+    if n == 0:
+        raise ValueError("empty input file")
+    first = data[0:1]
+    if first == b">":
+        fn, is_fasta = lib.scan_fasta, True
+        cap = data.count(b">") + 16
+    elif first == b"@":
+        fn, is_fasta = lib.scan_fastq, False
+        cap = data.count(b"\n") // 4 + 16
+    else:
+        raise ValueError("failed to recognize the format of the file")
+    while True:
+        ns = np.zeros(cap, np.int64)
+        ne = np.zeros(cap, np.int64)
+        ss = np.zeros(cap, np.int64)
+        se = np.zeros(cap, np.int64)
+        ln = np.zeros(cap, np.int64)
+        r = fn(dp, n, cap, _p(ns, _I64P), _p(ne, _I64P), _p(ss, _I64P),
+               _p(se, _I64P), _p(ln, _I64P))
+        if r == -2:
+            cap *= 2
+            continue
+        if r < 0:
+            raise ValueError("scan failed")
+        break
+    return is_fasta, ns[:r], ne[:r], ss[:r], se[:r], ln[:r]
+
+
+def pack_batch(data: bytes, seq_start: np.ndarray, seq_end: np.ndarray, stride: int):
+    lib = _load()
+    arr, dp = _u8(data)
+    nreads = len(seq_start)
+    W = stride // 32 + 1
+    WV = stride // 64 + 1
+    words = np.empty((nreads, W), np.uint64)
+    vwords = np.empty((nreads, WV), np.uint64)
+    ss = np.ascontiguousarray(seq_start, np.int64)
+    se = np.ascontiguousarray(seq_end, np.int64)
+    lib.pack_batch(dp, nreads, _p(ss, _I64P), _p(se, _I64P), stride,
+                   _p(words, _U64P), _p(vwords, _U64P))
+    return words, vwords
+
+
+class NamesBuffer:
+    """Target-name table for the native formatter (NUL-joined)."""
+
+    def __init__(self, target_names: list[str]):
+        offs = []
+        buf = bytearray()
+        for t in target_names:
+            offs.append(len(buf))
+            buf += t.encode() + b"\x00"
+        self.buf = bytes(buf)
+        self.off = np.array(offs, dtype=np.int64)
+
+
+def format_rows(
+    data: bytes, name_start, name_end, total, ibest, best, sbest, norm,
+    k: int, names: NamesBuffer, counts=None, n_targets: int = 0,
+) -> bytes:
+    lib = _load()
+    arr, dp = _u8(data)
+    nreads = len(total)
+    ns = np.ascontiguousarray(name_start, np.int64)
+    ne = np.ascontiguousarray(name_end, np.int64)
+    tt = np.ascontiguousarray(total, np.int32)
+    ib = np.ascontiguousarray(ibest, np.int32)
+    bb = np.ascontiguousarray(best, np.int32)
+    sb = np.ascontiguousarray(sbest, np.int32)
+    nm = np.ascontiguousarray(norm, np.int64)
+    if counts is None:
+        cap = nreads * 192 + 1024
+        out = ctypes.create_string_buffer(cap)
+        w = lib.format_rows(
+            dp, _p(ns, _I64P), _p(ne, _I64P), _p(tt, _I32P), _p(ib, _I32P),
+            _p(bb, _I32P), _p(sb, _I32P), _p(nm, _I64P), nreads, k,
+            names.buf, _p(names.off, _I64P), out, cap,
+        )
+    else:
+        cc = np.ascontiguousarray(counts, np.int32)
+        cap = nreads * (192 + 12 * n_targets) + 1024
+        out = ctypes.create_string_buffer(cap)
+        w = lib.format_rows_extended(
+            dp, _p(ns, _I64P), _p(ne, _I64P), _p(cc, _I32P), _p(tt, _I32P),
+            _p(ib, _I32P), _p(bb, _I32P), _p(sb, _I32P), _p(nm, _I64P),
+            nreads, n_targets, k, names.buf, _p(names.off, _I64P), out, cap,
+        )
+    if w < 0:
+        raise RuntimeError("format_rows buffer overflow")
+    return out.raw[:w]

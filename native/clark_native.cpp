@@ -1,0 +1,223 @@
+// Native runtime for jn_cuclark_tpu: FASTA/FASTQ scanning, 2-bit batch
+// packing, and C-printf CSV result formatting.
+//
+// TPU-native counterpart of the reference's host-side engine hot loops
+// (CuCLARK_hh.hh:1340-1534 read scan, :1610-1726 container packing,
+// :1946-2122 result printing), redesigned for the packed [R, stride] row
+// layout consumed by the JAX device pipeline instead of the CUDA container
+// stream.  Exposed with a C ABI for ctypes; all buffers are numpy-owned.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC -fopenmp)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------- scanning
+//
+// scan_fasta/scan_fastq fill per-read arrays:
+//   name_start/name_end : byte offsets of the object name (reference quirk:
+//                         the separator scan starts at the SECOND name char)
+//   seq_start/seq_end   : byte span of the read's sequence region (FASTA:
+//                         from after the header newline to the next '>'
+//                         line or EOF, newlines included; FASTQ: line 2)
+//   length              : number of sequence chars (newlines excluded)
+// Returns number of reads (capped at cap), or -1 on malformed input.
+
+static inline bool is_sep(uint8_t c) {
+  return c == ' ' || c == '\t' || c == '\n';
+}
+
+int64_t scan_fasta(const uint8_t* d, int64_t n, int64_t cap,
+                   int64_t* name_start, int64_t* name_end,
+                   int64_t* seq_start, int64_t* seq_end, int64_t* length) {
+  int64_t r = -1;
+  int64_t i = 0;
+  bool at_line_start = true;
+  while (i < n) {
+    if (at_line_start && d[i] == '>') {
+      if (r + 1 >= cap) return -2;  // caller must grow
+      ++r;
+      name_start[r] = i + 1;
+      int64_t j = i + 2;  // reference pre-increments: first char always kept
+      while (j < n && !is_sep(d[j])) ++j;
+      name_end[r] = j < n ? j : n;
+      while (i < n && d[i] != '\n') ++i;
+      ++i;
+      seq_start[r] = i;
+      seq_end[r] = i;
+      length[r] = 0;
+      at_line_start = true;
+      continue;
+    }
+    // sequence line for current record
+    int64_t ls = i;
+    while (i < n && d[i] != '\n') ++i;
+    if (r >= 0) {
+      length[r] += i - ls;
+      seq_end[r] = i;
+    }
+    ++i;
+    at_line_start = true;
+  }
+  return r + 1;
+}
+
+int64_t scan_fastq(const uint8_t* d, int64_t n, int64_t cap,
+                   int64_t* name_start, int64_t* name_end,
+                   int64_t* seq_start, int64_t* seq_end, int64_t* length) {
+  int64_t r = 0;
+  int64_t i = 0;
+  while (i < n) {
+    if (r >= cap) return -2;
+    // line 1: header
+    name_start[r] = i + 1;
+    int64_t j = i + 2;
+    while (j < n && !is_sep(d[j])) ++j;
+    name_end[r] = j < n ? j : n;
+    while (i < n && d[i] != '\n') ++i;
+    ++i;
+    if (i >= n) break;
+    // line 2: sequence
+    seq_start[r] = i;
+    while (i < n && d[i] != '\n') ++i;
+    seq_end[r] = i;
+    length[r] = seq_end[r] - seq_start[r];
+    ++i;
+    // line 3 + 4
+    while (i < n && d[i] != '\n') ++i;
+    ++i;
+    while (i < n && d[i] != '\n') ++i;
+    ++i;
+    ++r;
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------- packing
+//
+// pack_batch packs reads [0, nreads) (described by seq spans into d) into
+// [R, stride/32 + 1] uint64 code words and [R, stride/64 + 1] uint64
+// validity words, first char in the lowest bits.  code: A=0 C=1 G=2 T=3
+// (U=T), case-insensitive; anything else (and padding) is invalid.
+
+static int8_t CODE[256];
+static bool code_init_done = false;
+
+static void code_init() {
+  if (code_init_done) return;
+  for (int i = 0; i < 256; i++) CODE[i] = -1;
+  CODE['A'] = CODE['a'] = 0;
+  CODE['C'] = CODE['c'] = 1;
+  CODE['G'] = CODE['g'] = 2;
+  CODE['T'] = CODE['t'] = 3;
+  CODE['U'] = CODE['u'] = 3;
+  code_init_done = true;
+}
+
+void pack_batch(const uint8_t* d, int64_t nreads,
+                const int64_t* seq_start, const int64_t* seq_end,
+                int64_t stride, uint64_t* words, uint64_t* vwords) {
+  code_init();
+  const int64_t W = stride / 32 + 1;
+  const int64_t WV = stride / 64 + 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int64_t r = 0; r < nreads; r++) {
+    uint64_t* wrow = words + r * W;
+    uint64_t* vrow = vwords + r * WV;
+    memset(wrow, 0, W * sizeof(uint64_t));
+    memset(vrow, 0, WV * sizeof(uint64_t));
+    int64_t pos = 0;  // char position within the row
+    for (int64_t i = seq_start[r]; i < seq_end[r] && pos < stride; i++) {
+      uint8_t c = d[i];
+      if (c == '\n') continue;
+      int8_t code = CODE[c];
+      if (code >= 0) {
+        wrow[pos >> 5] |= (uint64_t)code << ((pos & 31) * 2);
+        vrow[pos >> 6] |= 1ull << (pos & 63);
+      }
+      ++pos;
+    }
+  }
+}
+
+// ------------------------------------------------------------- CSV output
+//
+// format_rows renders classification rows exactly like
+// printExtendedResultsSynced (CuCLARK_hh.hh:2096-2118):
+//   fprintf("%s,%g,%s,%u,%g\n", name, gamma, targetName, best, conf)
+// names: raw file buffer + per-read offsets (truncated to 39 chars);
+// target_names: concatenated NUL-separated strings indexed by offsets.
+// Returns bytes written to out (caller sizes out generously), or -1 if out
+// would overflow.
+
+int64_t format_rows(const uint8_t* data,
+                    const int64_t* name_start, const int64_t* name_end,
+                    const int32_t* total, const int32_t* ibest,
+                    const int32_t* best, const int32_t* sbest,
+                    const int64_t* norm, int64_t nreads, int32_t k,
+                    const char* tn_buf, const int64_t* tn_off,
+                    char* out, int64_t out_cap) {
+  int64_t w = 0;
+  char name[64];
+  for (int64_t r = 0; r < nreads; r++) {
+    int64_t ns = name_start[r], ne = name_end[r];
+    int64_t len = ne - ns;
+    if (len > 39) len = 39;
+    memcpy(name, data + ns, len);
+    name[len] = '\0';
+    double gamma = (double)total[r] / ((double)norm[r] - k + 1.0);
+    double delta = (double)(best[r] + sbest[r]);
+    double conf = (delta < 0.001) ? 0.0 : (double)best[r] / delta;
+    const char* tname = tn_buf + tn_off[ibest[r]];
+    if (out_cap - w < 256) return -1;
+    w += snprintf(out + w, out_cap - w, "%s,%g,%s,%u,%g\n", name, gamma,
+                  tname, (unsigned)best[r], conf);
+  }
+  return w;
+}
+
+// extended rows: per-target scores inserted after the name
+int64_t format_rows_extended(const uint8_t* data,
+                             const int64_t* name_start, const int64_t* name_end,
+                             const int32_t* counts,  // [nreads, ntargets+1]
+                             const int32_t* total, const int32_t* ibest,
+                             const int32_t* best, const int32_t* sbest,
+                             const int64_t* norm, int64_t nreads,
+                             int32_t ntargets, int32_t k,
+                             const char* tn_buf, const int64_t* tn_off,
+                             char* out, int64_t out_cap) {
+  int64_t w = 0;
+  char name[64];
+  for (int64_t r = 0; r < nreads; r++) {
+    int64_t ns = name_start[r], ne = name_end[r];
+    int64_t len = ne - ns;
+    if (len > 39) len = 39;
+    memcpy(name, data + ns, len);
+    name[len] = '\0';
+    if (out_cap - w < 64 + 12ll * ntargets) return -1;
+    w += snprintf(out + w, out_cap - w, "%s", name);
+    const int32_t* row = counts + r * (int64_t)(ntargets + 1);
+    for (int32_t t = 1; t <= ntargets; t++) {
+      w += snprintf(out + w, out_cap - w, ",%d", row[t]);
+    }
+    double gamma = (double)total[r] / ((double)norm[r] - k + 1.0);
+    double delta = (double)(best[r] + sbest[r]);
+    double conf = (delta < 0.001) ? 0.0 : (double)best[r] / delta;
+    const char* tname = tn_buf + tn_off[ibest[r]];
+    w += snprintf(out + w, out_cap - w, ",%g,%s,%u,%g\n", gamma, tname,
+                  (unsigned)best[r], conf);
+  }
+  return w;
+}
+
+}  // extern "C"

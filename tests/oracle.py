@@ -129,3 +129,8 @@ def build_db(targets: list[tuple[str, int]], k: int, light: bool = False,
         for v in first
         if mult[v] == 1 and count[v] > min_count_target
     }
+
+
+def rows(gen) -> list[str]:
+    """Collect a classification row-chunk generator into a list of lines."""
+    return b"".join(gen).decode().splitlines()

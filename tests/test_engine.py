@@ -82,7 +82,7 @@ def test_classify_fasta_matches_oracle(setup, tmp_path):
     )
     fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
     gen, nreads = clf.classify_bytes(fa)
-    got = [line.decode().rstrip("\n") for line in gen]
+    got = oracle.rows(gen)
     db = load_oracle_db(dbdir, prof, targets)
     want = oracle_csv(reads, db, K, targets.target_names)
     assert nreads == len(reads)
@@ -99,7 +99,7 @@ def test_classify_fastq(setup):
         f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads if len(s) > 4
     ).encode()
     gen, nreads = clf.classify_bytes(fq)
-    got = [line.decode().rstrip("\n") for line in gen]
+    got = oracle.rows(gen)
     db = load_oracle_db(dbdir, prof, targets)
     want = oracle_csv([(n, s) for n, s in reads if len(s) > 4], db, K, targets.target_names)
     assert got == want
@@ -111,7 +111,7 @@ def test_extended_output(setup):
     sub = reads[:50]
     fa = "".join(f">{n}\n{s}\n" for n, s in sub).encode()
     gen, _ = clf.classify_bytes(fa, extended=True)
-    got = [line.decode().rstrip("\n") for line in gen]
+    got = oracle.rows(gen)
     db = load_oracle_db(dbdir, prof, targets)
     want = []
     for name, seq in sub:
@@ -146,7 +146,7 @@ def test_name_truncation_and_token(setup):
     longname = "x" * 60
     fa = f">{longname} extra stuff\nACGTACGTACGTACGT\n>a b\nACGTACGTACGTACGT\n".encode()
     gen, _ = clf.classify_bytes(fa)
-    rows = [r.decode() for r in gen]
+    rows = oracle.rows(gen)
     assert rows[0].startswith("x" * 39 + ",")
     assert rows[1].startswith("a,")
 
@@ -164,7 +164,7 @@ def test_paired_merge(setup):
     assert merged.split(b"\n")[0] == b">p1"
     clf = Classifier.load(str(dbdir), targets, prof, K)
     gen, _ = clf.classify_bytes(merged, paired=True)
-    got = [r.decode().rstrip("\n") for r in gen]
+    got = oracle.rows(gen)
     db = load_oracle_db(dbdir, prof, targets)
     pairs = [(n, a + "N" + b) for (n, a), (_, b) in zip(r1, r2)]
     want = oracle_csv(pairs, db, K, targets.target_names, paired=True)

@@ -12,6 +12,7 @@ from jn_cuclark_tpu.engine import BatchPlan, Classifier
 from jn_cuclark_tpu.io.targets import parse_targets
 from jn_cuclark_tpu.parallel.mesh import make_mesh
 
+from . import oracle
 from .test_builder import rand_seq, write_fasta
 
 K = 9
@@ -44,11 +45,11 @@ def test_mesh_matches_single(db):
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     plan = BatchPlan(max_queries=1 << 14, max_reads=256)
     single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
-    rows1 = list(single.classify_bytes(fa)[0])
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
 
     mesh = make_mesh()
     sharded = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, mesh=mesh)
-    rows8 = list(sharded.classify_bytes(fa)[0])
+    rows8 = oracle.rows(sharded.classify_bytes(fa)[0])
     assert rows1 == rows8
 
 
@@ -56,7 +57,7 @@ def test_mesh_subset_devices(db):
     tmp_path, prof, targets, fa = db
     plan = BatchPlan(max_queries=1 << 14, max_reads=256)
     single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
-    rows1 = list(single.classify_bytes(fa)[0])
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
     mesh = make_mesh(n_devices=3)
     sharded = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, mesh=mesh)
-    assert rows1 == list(sharded.classify_bytes(fa)[0])
+    assert rows1 == oracle.rows(sharded.classify_bytes(fa)[0])

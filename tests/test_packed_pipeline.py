@@ -8,6 +8,7 @@ from jn_cuclark_tpu.db import builder
 from jn_cuclark_tpu.engine import BatchPlan, Classifier
 from jn_cuclark_tpu.io.targets import parse_targets
 
+from . import oracle
 from .test_builder import rand_seq, write_fasta
 
 K = 9
@@ -47,8 +48,8 @@ def test_packed_equals_flat(setup):
     plan = BatchPlan(max_queries=1 << 15, max_reads=64, window_budget=1 << 14)
     flat = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=False)
     packed = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=True)
-    rows_f = list(flat.classify_bytes(fa)[0])
-    rows_p = list(packed.classify_bytes(fa)[0])
+    rows_f = oracle.rows(flat.classify_bytes(fa)[0])
+    rows_p = oracle.rows(packed.classify_bytes(fa)[0])
     assert rows_f == rows_p
 
 
@@ -57,8 +58,8 @@ def test_packed_extended_equals_flat(setup):
     plan = BatchPlan(max_queries=1 << 15, max_reads=64, window_budget=1 << 14)
     flat = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=False)
     packed = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, packed=True)
-    rows_f = list(flat.classify_bytes(fa, extended=True)[0])
-    rows_p = list(packed.classify_bytes(fa, extended=True)[0])
+    rows_f = oracle.rows(flat.classify_bytes(fa, extended=True)[0])
+    rows_p = oracle.rows(packed.classify_bytes(fa, extended=True)[0])
     assert rows_f == rows_p
 
 
@@ -68,10 +69,34 @@ def test_packed_mesh_equals_single(setup):
 
     plan = BatchPlan(window_budget=1 << 14)
     single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
-    rows1 = list(single.classify_bytes(fa)[0])
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
     for nd in (8, 3):
         mesh = make_mesh(nd)
         sharded = Classifier.load(
             str(tmp_path), targets, prof, K, plan=plan, mesh=mesh
         )
-        assert rows1 == list(sharded.classify_bytes(fa)[0]), f"ndev={nd}"
+        assert rows1 == oracle.rows(sharded.classify_bytes(fa)[0]), f"ndev={nd}"
+
+
+def test_native_host_path_equals_python(setup):
+    """C++ scan/pack/format must produce byte-identical CSV to the numpy path."""
+    from jn_cuclark_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    tmp_path, prof, targets, fa = setup
+    plan = BatchPlan(window_budget=1 << 14)
+    py = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, use_native=False)
+    nat = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, use_native=True)
+    assert b"".join(py.classify_bytes(fa)[0]) == b"".join(nat.classify_bytes(fa)[0])
+    # extended mode too
+    assert b"".join(py.classify_bytes(fa, extended=True)[0]) == b"".join(
+        nat.classify_bytes(fa, extended=True)[0]
+    )
+    # fastq input
+    import numpy as np
+    rng = np.random.default_rng(0)
+    fq = "".join(
+        f"@q{i}\n{rand_seq(rng, 120)}\n+\n{'I'*120}\n" for i in range(50)
+    ).encode()
+    assert b"".join(py.classify_bytes(fq)[0]) == b"".join(nat.classify_bytes(fq)[0])
