@@ -68,8 +68,8 @@ def main():
             pass
         t0 = time.time()
         n = 0
-        for _ in clf.classify_bytes(fa)[0]:
-            n += 1
+        for chunk in clf.classify_bytes(fa)[0]:
+            n += chunk.count(b"\n")
         dt = time.time() - t0
     reads_per_sec = n / dt
 
