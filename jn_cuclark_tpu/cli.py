@@ -1,0 +1,381 @@
+"""clark-tpu — single CLI replacing the reference's kent + shell scripts +
+cuCLARK binaries.
+
+Subcommands (reference equivalents):
+    db set-targets   kent -d / set_targets.sh + make_metadata.sh
+    db build         cuCLARK first-run DB construction (makeSpecificTargetSets)
+    classify         kent -c / classify_metagenome.sh / cuCLARK[-l]
+    abundance        kent -a / estimate_abundance.sh / getAbundance
+    merge            kent -m
+    report           kent -r
+    verify           kent --verify
+    cluster          kent-mpi (multi-host / multi-sample coordinator)
+
+Run `python -m jn_cuclark_tpu.cli <cmd> --help` for flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import os
+import sys
+import time
+
+
+def _profile_from_args(args, cfg=None):
+    from .params import FULL, LIGHT, Profile
+
+    if getattr(args, "light", False):
+        prof = LIGHT
+    elif getattr(args, "full", False):
+        prof = FULL
+    elif cfg is not None:
+        prof = cfg.profile
+    else:
+        prof = LIGHT
+    if getattr(args, "htsize", None):
+        prof = Profile(
+            name=f"custom{args.htsize}",
+            htsize=args.htsize,
+            light=prof.light,
+            default_k=args.k or prof.default_k,
+            default_gap=getattr(args, "gap", None) or prof.default_gap,
+        )
+    return prof
+
+
+def cmd_db_set_targets(args):
+    from . import database
+
+    prof = _profile_from_args(args)
+    cfg = database.set_targets(args.db, rank=args.rank, profile=prof)
+    n = sum(1 for _ in open(cfg.targets))
+    print(f"Targets definition written: {cfg.targets} ({n} targets)")
+    print(f"Database sub-directory: {cfg.subdb}")
+    return 0
+
+
+def cmd_db_build(args):
+    from . import database
+
+    cfg = database.DBConfig.load(args.db)
+    prof = _profile_from_args(args, cfg)
+    t0 = time.time()
+    db = database.build(
+        cfg,
+        profile=prof,
+        k=args.k,
+        gap=args.gap,
+        min_count_target=args.min_freq_target,
+        tsk=args.tsk,
+    )
+    print(
+        f"Database built: {len(db.canonical)} discriminative k-mers "
+        f"({db.n_mother} distinct) in {time.time() - t0:.1f}s"
+    )
+    return 0
+
+
+def _load_classifier(args):
+    from . import database
+    from .engine import BatchPlan, Classifier
+
+    cfg = database.DBConfig.load(args.db)
+    prof = _profile_from_args(args, cfg)
+    mesh = None
+    if args.devices and args.devices > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
+    return Classifier.load(
+        cfg.subdb,
+        cfg.targets,
+        prof,
+        k=args.k or cfg.k,
+        min_count_target=args.min_freq_target or cfg.min_count_target,
+        sampling_factor=args.sampling_factor,
+        gap=args.gap or cfg.gap,
+        mesh=mesh,
+    )
+
+
+def _maybe_gunzip(path: str, tmpdir: str) -> str:
+    if not path.endswith(".gz"):
+        return path
+    out = os.path.join(tmpdir, os.path.basename(path)[:-3])
+    with gzip.open(path, "rb") as f, open(out, "wb") as g:
+        g.write(f.read())
+    return out
+
+
+def cmd_classify(args):
+    import tempfile
+
+    clf = _load_classifier(args)
+
+    objects = args.objects
+    results = args.results
+    paired = args.paired
+
+    with tempfile.TemporaryDirectory() as td:
+        if args.gzipped:
+            if objects:
+                objects = _maybe_gunzip(objects, td)
+            if paired:
+                paired = [_maybe_gunzip(p, td) for p in paired]
+
+        # multi-file list mode: objects file whose first line is not a record
+        # start is a list of input files, paired with a list of result names
+        # (CuCLARK_hh.hh:384-429)
+        pairs = []
+        if paired:
+            pairs.append((paired[0], paired[1], results))
+        else:
+            with open(objects, "rb") as f:
+                first = f.read(1)
+            if first in (b">", b"@"):
+                pairs.append((objects, None, results))
+            else:
+                with open(objects) as fo, open(results) as fr:
+                    for oline, rline in zip(fo, fr):
+                        oline, rline = oline.strip(), rline.strip()
+                        if oline and rline:
+                            pairs.append((oline, None, rline))
+
+        total_reads = 0
+        for obj, mate, res in pairs:
+            print(f"Classifying: {obj}", file=sys.stderr)
+            stats = clf.classify_file(
+                obj, res, paired_path=mate, extended=args.extended
+            )
+            total_reads += stats["reads"]
+            print(
+                f"Done in {stats['seconds']:.1f}s "
+                f"({stats['reads_per_min']} reads/min, {stats['reads']} reads)",
+                file=sys.stderr,
+            )
+            print(f"Results: {stats['result']}", file=sys.stderr)
+    return 0
+
+
+def cmd_abundance(args):
+    from . import abundance
+
+    res = abundance.estimate(
+        args.files,
+        db_dir=args.db,
+        min_confidence=args.min_confidence,
+        min_gamma=args.min_gamma,
+        min_abundance=args.min_abundance,
+        high_confidence=args.highconfidence,
+        krona_path="results.krn" if args.krona else None,
+        mpa_path="results.mpa" if args.mpa else None,
+    )
+    out = sys.stdout
+    if args.output:
+        out = open(args.output, "w")
+    out.write(res.text())
+    if args.output:
+        out.close()
+        print(f"Abundance written to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_merge(args):
+    from . import abundance
+
+    stats = abundance.merge(args.files, args.output)
+    print(
+        f"Merged {stats['files']} abundance files ({stats['total']} total "
+        f"reads) -> {stats['output']}"
+    )
+    return 0
+
+
+def cmd_report(args):
+    from . import abundance
+
+    stats = abundance.report(args.file, args.output)
+    print(f"Report written to {stats['output']}")
+    return 0
+
+
+def cmd_verify(args):
+    """Installation + database health check (kent --verify)."""
+    ok = True
+
+    def check(name, fn):
+        nonlocal ok
+        try:
+            detail = fn()
+            print(f"  [OK]   {name}" + (f" ({detail})" if detail else ""))
+        except Exception as e:  # noqa: BLE001
+            print(f"  [FAIL] {name}: {e}")
+            ok = False
+
+    print("clark-tpu installation check:")
+    check("python package", lambda: __import__("jn_cuclark_tpu").__version__)
+    check("jax devices", lambda: ", ".join(str(d) for d in _devices()))
+    check("native runtime", _check_native)
+    check("device pipeline", _check_pipeline)
+    if args.db:
+        from . import database
+
+        problems = database.check_layout(args.db)
+        for p in problems:
+            print(f"  [FAIL] db layout: {p}")
+        ok = ok and not problems
+        if not problems:
+            print(f"  [OK]   db layout: {args.db}")
+        try:
+            cfg = database.DBConfig.load(args.db)
+            stem = os.path.join(
+                cfg.subdb,
+                cfg.profile.db_stem(cfg.k, _count_targets(cfg), cfg.min_count_target, cfg.gap),
+            )
+            from .io import dbformat
+
+            if dbformat.db_exists(stem):
+                print(f"  [OK]   database files: {stem}.(sz|ky|lb)")
+            else:
+                print(f"  [WARN] database not built yet (expected {stem}.*)")
+        except FileNotFoundError:
+            print(f"  [WARN] no config.json in {args.db} (run db set-targets)")
+    print("STATUS: " + ("READY" if ok else "INCOMPLETE"))
+    return 0 if ok else 1
+
+
+def _devices():
+    import jax
+
+    return jax.devices()
+
+
+def _check_native():
+    from .utils import native
+
+    if not native.available():
+        raise RuntimeError("libclark_native.so not built (make -C native); using numpy fallback")
+    return "libclark_native.so"
+
+
+def _check_pipeline():
+    import numpy as np
+
+    from __graft_entry__ import entry  # noqa: PLC0415
+
+    import jax
+
+    fn, fargs = entry()
+    out = jax.jit(fn)(*fargs)
+    np.asarray(out[0])
+    return "jit ok"
+
+
+def _count_targets(cfg):
+    from .io.targets import parse_targets
+
+    return parse_targets(cfg.targets).n_targets
+
+
+def cmd_cluster(args):
+    from . import cluster
+
+    return cluster.main(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="clark-tpu",
+        description="TPU-native CLARK metagenomic classifier",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_profile_flags(sp, build=False):
+        sp.add_argument("-k", type=int, default=None, help="k-mer length")
+        sp.add_argument("--light", action="store_true", help="light profile (cuCLARK-l)")
+        sp.add_argument("--full", action="store_true", help="full profile (cuCLARK)")
+        sp.add_argument("--htsize", type=int, default=None, help="custom hash-table size")
+        sp.add_argument("-g", "--gap", type=int, default=None, help="light-mode k-mer gap")
+        sp.add_argument(
+            "-t", "--min-freq-target", type=int, default=None,
+            help="minimum k-mer frequency in targets",
+        )
+
+    pd = sub.add_parser("db", help="database workflows")
+    dsub = pd.add_subparsers(dest="dbcmd", required=True)
+    pst = dsub.add_parser("set-targets", help="build targets.txt from Custom/ + taxonomy/")
+    pst.add_argument("db", help="database directory")
+    pst.add_argument(
+        "--rank", default="species",
+        choices=list(__import__("jn_cuclark_tpu.database", fromlist=["RANK_NAMES"]).RANK_NAMES),
+        help="taxonomy rank for target labels",
+    )
+    add_profile_flags(pst)
+    pst.set_defaults(fn=cmd_db_set_targets)
+
+    pb = dsub.add_parser("build", help="build the discriminative k-mer database")
+    pb.add_argument("db", help="database directory")
+    add_profile_flags(pb, build=True)
+    pb.add_argument("--tsk", action="store_true", help="write per-target .ht files")
+    pb.set_defaults(fn=cmd_db_build)
+
+    pc = sub.add_parser("classify", help="classify reads against a database")
+    pc.add_argument("-D", "--db", required=True, help="database directory")
+    pc.add_argument("-O", "--objects", help="reads file (or list of files)")
+    pc.add_argument(
+        "-P", "--paired", nargs=2, metavar=("R1", "R2"), help="paired-end FASTQ files"
+    )
+    pc.add_argument("-R", "--results", required=True, help="results path (.csv appended)")
+    add_profile_flags(pc)
+    pc.add_argument("-s", "--sampling-factor", type=int, default=1)
+    pc.add_argument("--extended", action="store_true", help="per-target score columns")
+    pc.add_argument("--gzipped", action="store_true", help="inputs are gzipped")
+    pc.add_argument("-d", "--devices", type=int, default=None, help="devices to shard the DB over")
+    pc.set_defaults(fn=cmd_classify)
+
+    pa = sub.add_parser("abundance", help="abundance estimation from result CSVs")
+    pa.add_argument("-D", "--db", default=None, help="database directory (for taxonomy)")
+    pa.add_argument("-F", "--files", nargs="+", required=True, help="classification CSVs")
+    pa.add_argument("-c", "--min-confidence", type=float, default=0.5)
+    pa.add_argument("-g", "--min-gamma", type=float, default=0.0)
+    pa.add_argument("-a", "--min-abundance", type=float, default=0.0)
+    pa.add_argument("--highconfidence", "--hc", action="store_true")
+    pa.add_argument("--krona", action="store_true", help="write results.krn")
+    pa.add_argument("--mpa", action="store_true", help="write results.mpa")
+    pa.add_argument("-o", "--output", default=None)
+    pa.set_defaults(fn=cmd_abundance)
+
+    pm = sub.add_parser("merge", help="merge abundance CSVs by taxid")
+    pm.add_argument("files", nargs="+")
+    pm.add_argument("-o", "--output", required=True)
+    pm.set_defaults(fn=cmd_merge)
+
+    pr = sub.add_parser("report", help="human-readable pathogen report")
+    pr.add_argument("file", help="abundance CSV")
+    pr.add_argument("-o", "--output", default="results/report.txt")
+    pr.set_defaults(fn=cmd_report)
+
+    pv = sub.add_parser("verify", help="installation / database health check")
+    pv.add_argument("--db", default=None, help="database directory to check")
+    pv.set_defaults(fn=cmd_verify)
+
+    pcl = sub.add_parser("cluster", help="multi-host / multi-sample coordinator")
+    pcl.add_argument("-c", "--config", required=True, help="cluster config (INI)")
+    pcl.add_argument("-p", "--preflight", action="store_true", help="check config and hosts only")
+    pcl.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    pcl.set_defaults(fn=cmd_cluster)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "classify" and not args.objects and not args.paired:
+        print("classify: provide -O <reads> or -P <r1> <r2>", file=sys.stderr)
+        return 1
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

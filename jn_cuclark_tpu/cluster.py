@@ -1,0 +1,406 @@
+"""Multi-node coordinator — the kent-mpi replacement.
+
+The reference (app/kent_mpi.cpp) statically assigns one FASTQ per hostname in
+an INI config, launches itself under `mpirun` over SSH, runs `kent -c` +
+`kent -a` per rank, sends pipe-delimited NodeResult strings to rank 0, and
+merges abundances into results/cluster_report.txt.
+
+The TPU-native redesign keeps the same config format and report but replaces
+MPI/SSH with JAX process semantics:
+
+  * single-process mode (default): every node entry whose reads are readable
+    from this machine is processed here, sequentially — this covers the
+    reference's practical use (multi-sample batch) on one TPU host, and is
+    how `kent-mpi`-style runs are tested without a cluster.
+  * multi-process mode ([cluster] backend = jax_distributed): each host runs
+    the same command; `jax.distributed.initialize` forms the pod, each
+    process classifies the reads assigned to ITS hostname, per-node results
+    are all-gathered over DCN with `jax.experimental.multihost_utils`, and
+    process 0 merges + writes the report.
+
+Result merging is abundance-level (CSV sums), exactly like the reference —
+the heavy data (DB, reads) never crosses hosts.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import datetime
+import json
+import os
+import socket
+import time
+
+from .utils.logging import ClusterLogger
+
+
+@dataclasses.dataclass
+class NodeSpec:
+    hostname: str
+    reads: list[str]  # 1 (single-end) or 2 (paired) paths
+
+
+@dataclasses.dataclass
+class ClusterConfig:
+    master: str
+    workers: list[str]
+    cuclark_dir: str
+    database: str
+    results_dir: str
+    nodes: list[NodeSpec]
+    batch_size: int = 32
+    kmer_size: int | None = None
+    min_freq_target: int = 0
+    num_devices: int | None = None
+    gap_iteration: int | None = None
+    sampling_factor: int = 1
+    extended: bool = False
+    gzipped: bool = False
+    master_processes_reads: bool = True
+    keep_local_results: bool = True
+    log_level: str = "info"
+    log_file: str = "cluster_run.log"
+    backend: str = "local"  # "local" | "jax_distributed"
+    coordinator_address: str | None = None
+
+    @classmethod
+    def load(cls, path: str) -> "ClusterConfig":
+        ini = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
+        ini.optionxform = str  # hostnames are case-sensitive keys
+        with open(path) as f:
+            ini.read_file(f)
+        cl = ini["cluster"] if "cluster" in ini else {}
+        paths = ini["paths"] if "paths" in ini else {}
+        reads = ini["reads"] if "reads" in ini else {}
+        classif = ini["classification"] if "classification" in ini else {}
+        options = ini["options"] if "options" in ini else {}
+        logging_ = ini["logging"] if "logging" in ini else {}
+        workers = [
+            w.strip() for w in cl.get("workers", "").split(",") if w.strip()
+        ]
+        nodes = []
+        for host, spec in reads.items():
+            files = [p.strip() for p in spec.split(",") if p.strip()]
+            if files:
+                nodes.append(NodeSpec(hostname=host, reads=files))
+
+        def b(section, key, default):
+            v = section.get(key, None)
+            if v is None:
+                return default
+            return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+        return cls(
+            master=cl.get("master", socket.gethostname()),
+            workers=workers,
+            cuclark_dir=paths.get("cuclark_dir", "."),
+            database=paths.get("database", ""),
+            results_dir=paths.get("results_dir", "results"),
+            nodes=nodes,
+            batch_size=int(classif.get("batch_size", 32)),
+            kmer_size=int(classif["kmer_size"]) if classif.get("kmer_size") else None,
+            min_freq_target=int(classif.get("min_freq_target", 0)),
+            num_devices=int(classif["num_devices"]) if classif.get("num_devices") else None,
+            gap_iteration=int(classif["gap_iteration"]) if classif.get("gap_iteration") else None,
+            sampling_factor=int(float(classif.get("sampling_factor", 1)) or 1),
+            extended=b(classif, "extended", False),
+            gzipped=b(classif, "gzipped", False),
+            master_processes_reads=b(options, "master_processes_reads", True),
+            keep_local_results=b(options, "keep_local_results", True),
+            log_level=logging_.get("level", "info"),
+            log_file=logging_.get("file", "cluster_run.log"),
+            backend=cl.get("backend", "local"),
+            coordinator_address=cl.get("coordinator_address", None),
+        )
+
+    def validate(self) -> list[str]:
+        problems = []
+        if not self.database:
+            problems.append("[paths] database is required")
+        elif not os.path.isdir(self.database):
+            problems.append(f"database directory not found: {self.database}")
+        if not self.nodes:
+            problems.append("[reads] section has no node entries")
+        for n in self.nodes:
+            if len(n.reads) > 2:
+                problems.append(f"{n.hostname}: more than 2 read files")
+        known = {self.master, *self.workers}
+        for n in self.nodes:
+            if n.hostname not in known:
+                problems.append(
+                    f"[reads] host '{n.hostname}' not in master/workers list"
+                )
+        if not self.master_processes_reads:
+            for n in self.nodes:
+                if n.hostname == self.master:
+                    problems.append(
+                        "master has reads but master_processes_reads = false"
+                    )
+        return problems
+
+
+@dataclasses.dataclass
+class NodeResult:
+    hostname: str
+    success: bool
+    elapsed_seconds: float = 0.0
+    reads: int = 0
+    result_file: str = ""
+    abundance_file: str = ""
+    error_message: str = ""
+
+
+def _result_paths(cfg: ClusterConfig, host: str, reads_path: str):
+    base = os.path.splitext(os.path.basename(reads_path))[0]
+    rdir = cfg.results_dir
+    if not os.path.isabs(rdir):
+        rdir = os.path.join(cfg.cuclark_dir, rdir)
+    os.makedirs(rdir, exist_ok=True)
+    return (
+        os.path.join(rdir, f"{host}_{base}"),
+        os.path.join(rdir, f"{host}_abundance.csv"),
+        rdir,
+    )
+
+
+def run_node(cfg: ClusterConfig, node: NodeSpec, log: ClusterLogger) -> NodeResult:
+    """Classify + abundance for one node's reads (run_classification_local,
+    kent_mpi.cpp:508-631)."""
+    from . import abundance, database
+    from .engine import Classifier
+
+    t0 = time.time()
+    try:
+        dbcfg = database.DBConfig.load(cfg.database)
+        prof = dbcfg.profile
+        mesh = None
+        if cfg.num_devices and cfg.num_devices > 1:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.num_devices)
+        clf = Classifier.load(
+            dbcfg.subdb,
+            dbcfg.targets,
+            prof,
+            k=cfg.kmer_size or dbcfg.k,
+            min_count_target=cfg.min_freq_target or dbcfg.min_count_target,
+            sampling_factor=cfg.sampling_factor,
+            gap=cfg.gap_iteration or dbcfg.gap,
+            mesh=mesh,
+        )
+        reads0 = node.reads[0]
+        result_base, abundance_file, rdir = _result_paths(cfg, node.hostname, reads0)
+        log.info(f"[{node.hostname}] classifying {reads0}")
+        stats = clf.classify_file(
+            reads0,
+            result_base,
+            paired_path=node.reads[1] if len(node.reads) > 1 else None,
+            extended=cfg.extended,
+        )
+        res = abundance.estimate([stats["result"]], db_dir=cfg.database)
+        with open(abundance_file, "w") as f:
+            f.write(res.text())
+        log.info(
+            f"[{node.hostname}] done: {stats['reads']} reads in "
+            f"{stats['seconds']:.1f}s"
+        )
+        return NodeResult(
+            hostname=node.hostname,
+            success=True,
+            elapsed_seconds=time.time() - t0,
+            reads=stats["reads"],
+            result_file=stats["result"],
+            abundance_file=abundance_file,
+        )
+    except Exception as e:  # noqa: BLE001 — contained per-node failure
+        log.error(f"[{node.hostname}] FAILED: {e}")
+        return NodeResult(
+            hostname=node.hostname,
+            success=False,
+            elapsed_seconds=time.time() - t0,
+            error_message=str(e),
+        )
+
+
+def generate_report(
+    cfg: ClusterConfig, results: list[NodeResult], merged_path: str, out_path: str
+):
+    """cluster_report.txt, format-compatible with kent_mpi.cpp:679-747."""
+    with open(out_path, "w") as report:
+        w = report.write
+        w("========================================\n")
+        w("  CuCLARK Cluster Classification Report\n")
+        w(f"  Generated: {datetime.datetime.now().strftime('%Y-%m-%d %H:%M:%S')}\n")
+        w("========================================\n\n")
+        w("CLUSTER CONFIGURATION\n")
+        w(f"  Master: {cfg.master}\n")
+        w("  Workers: " + ", ".join(cfg.workers) + "\n")
+        w(f"  Database: {cfg.database}\n")
+        w(f"  K-mer size: {cfg.kmer_size or 'db default'}\n")
+        w(f"  Batch size: {cfg.batch_size}\n")
+        w(f"  Processes: {len(results)}\n\n")
+        w("NODE RESULTS\n")
+        w("-" * 60 + "\n")
+        total_success = 0
+        total_time = 0.0
+        max_time = 0.0
+        for r in results:
+            w(f"  {r.hostname}:\n")
+            w(f"    Status: {'SUCCESS' if r.success else 'FAILED'}\n")
+            if r.success:
+                w(f"    Elapsed: {r.elapsed_seconds:.1f} seconds\n")
+                w(f"    Result: {r.result_file}\n")
+                if r.abundance_file:
+                    w(f"    Abundance: {r.abundance_file}\n")
+                total_success += 1
+                total_time += r.elapsed_seconds
+                max_time = max(max_time, r.elapsed_seconds)
+            else:
+                w(f"    Error: {r.error_message}\n")
+            w("\n")
+        if merged_path:
+            w("MERGED ABUNDANCE\n")
+            w("-" * 60 + "\n")
+            w(f"  {merged_path}\n\n")
+        w("SUMMARY\n")
+        w("-" * 60 + "\n")
+        w(f"  Nodes processed: {total_success}/{len(results)}\n")
+        w(f"  Total CPU time: {total_time:.1f} seconds\n")
+        w(f"  Wall clock time: {max_time:.1f} seconds (parallel)\n")
+        speedup = total_time / max_time if max_time > 0 else 0
+        w(f"  Speedup: {speedup:.2f}x\n\n")
+
+
+def preflight(cfg: ClusterConfig, log: ClusterLogger) -> bool:
+    """kent-mpi -p: config + per-node input checks (no SSH — reachability is
+    JAX-distributed's job in multi-process mode)."""
+    problems = cfg.validate()
+    for p in problems:
+        log.error(p)
+    for n in cfg.nodes:
+        for path in n.reads:
+            if os.path.exists(path):
+                log.info(f"[{n.hostname}] reads OK: {path}")
+            else:
+                log.warn(
+                    f"[{n.hostname}] reads not readable from this host: {path}"
+                    " (fine if they live on that node)"
+                )
+    if cfg.backend == "jax_distributed" and not cfg.coordinator_address:
+        log.error("backend=jax_distributed requires coordinator_address")
+        problems.append("missing coordinator_address")
+    log.info("Preflight " + ("PASSED" if not problems else "FAILED"))
+    return not problems
+
+
+def run(cfg: ClusterConfig, log: ClusterLogger) -> int:
+    from . import abundance
+
+    problems = cfg.validate()
+    if problems:
+        for p in problems:
+            log.error(p)
+        return 1
+
+    my_host = socket.gethostname()
+    multiproc = cfg.backend == "jax_distributed"
+    if multiproc:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=cfg.coordinator_address,
+        )
+        pid = jax.process_index()
+        nproc = jax.process_count()
+        mine = [
+            n for n in cfg.nodes if n.hostname == my_host
+        ]
+        log.info(f"jax.distributed: process {pid}/{nproc} on {my_host}")
+    else:
+        pid, nproc = 0, 1
+        mine = [
+            n
+            for n in cfg.nodes
+            if all(os.path.exists(p) for p in n.reads)
+        ]
+        skipped = [n.hostname for n in cfg.nodes if n not in mine]
+        if skipped:
+            log.warn(f"skipping nodes without locally readable reads: {skipped}")
+
+    results = [run_node(cfg, n, log) for n in mine]
+
+    if multiproc:
+        results = _allgather_results(results)
+        if pid != 0:
+            return 0
+
+    # master: merge + report (kent_mpi.cpp:637-747)
+    rdir = cfg.results_dir
+    if not os.path.isabs(rdir):
+        rdir = os.path.join(cfg.cuclark_dir, rdir)
+    os.makedirs(rdir, exist_ok=True)
+    ab_files = [r.abundance_file for r in results if r.success and r.abundance_file]
+    merged_path = ""
+    if len(ab_files) >= 2:
+        merged_path = os.path.join(rdir, "cluster_abundance.csv")
+        abundance.merge(ab_files, merged_path)
+        log.info(f"merged abundance -> {merged_path}")
+    elif len(ab_files) == 1:
+        merged_path = ab_files[0]
+    report_path = os.path.join(rdir, "cluster_report.txt")
+    generate_report(cfg, results, merged_path, report_path)
+    log.info(f"report written to {report_path}")
+    return 0 if all(r.success for r in results) and results else 1
+
+
+def _allgather_results(results: list[NodeResult]) -> list[NodeResult]:
+    """Gather per-process NodeResults to every process over DCN (replaces the
+    reference's MPI_Send/Recv of pipe-delimited strings)."""
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps([dataclasses.asdict(r) for r in results])
+    gathered = multihost_utils.process_allgather(
+        _str_to_arr(payload), tiled=False
+    )
+    out: list[NodeResult] = []
+    import numpy as np
+
+    for row in np.asarray(gathered):
+        s = _arr_to_str(row)
+        if s:
+            out.extend(NodeResult(**d) for d in json.loads(s))
+    return out
+
+
+_PAYLOAD_CAP = 1 << 16
+
+
+def _str_to_arr(s: str):
+    import numpy as np
+
+    b = s.encode()[:_PAYLOAD_CAP]
+    arr = np.zeros(_PAYLOAD_CAP, dtype=np.uint8)
+    arr[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return arr
+
+
+def _arr_to_str(arr) -> str:
+    import numpy as np
+
+    b = bytes(np.asarray(arr, dtype=np.uint8))
+    return b.rstrip(b"\x00").decode(errors="replace")
+
+
+def main(args) -> int:
+    cfg = ClusterConfig.load(args.config)
+    logfile = cfg.log_file
+    if not os.path.isabs(logfile):
+        logfile = os.path.join(cfg.cuclark_dir, "logs", logfile)
+    log = ClusterLogger(level=cfg.log_level, logfile=logfile)
+    try:
+        if args.preflight:
+            return 0 if preflight(cfg, log) else 1
+        return run(cfg, log)
+    finally:
+        log.close()

@@ -1,0 +1,210 @@
+"""Full-workflow tests through the CLI: db set-targets -> build -> classify
+-> abundance -> merge -> report -> verify -> cluster."""
+
+import os
+
+import numpy as np
+import pytest
+
+from jn_cuclark_tpu import cli
+
+from .test_builder import rand_seq
+
+K = 9
+
+
+@pytest.fixture(scope="module")
+def dbdir(tmp_path_factory):
+    """A reference-layout database directory with toy genomes + taxonomy."""
+    root = tmp_path_factory.mktemp("clidb")
+    db = root / "db"
+    (db / "Custom").mkdir(parents=True)
+    tax = db / "taxonomy"
+    tax.mkdir()
+
+    rng = np.random.default_rng(77)
+    genomes = {}
+    accs = ["NC_000001", "NC_000002", "NC_000003"]
+    taxids = [562, 28901, 99901]
+    for acc, tid in zip(accs, taxids):
+        seq = rand_seq(rng, 1200)
+        genomes[tid] = seq
+        with open(db / "Custom" / f"{acc}.fa", "w") as f:
+            f.write(f">{acc}.1 toy genome tax{tid}\n")
+            for j in range(0, len(seq), 70):
+                f.write(seq[j : j + 70] + "\n")
+
+    # taxonomy dumps (same toy tree as the abundance goldens)
+    nodes = [
+        (1, 1, "no rank"), (2, 1, "superkingdom"), (1224, 2, "phylum"),
+        (1236, 1224, "class"), (91347, 1236, "order"), (543, 91347, "family"),
+        (561, 543, "genus"), (562, 561, "species"), (590, 543, "genus"),
+        (28901, 590, "species"), (86661, 543, "species group"),
+        (99901, 86661, "species"),
+    ]
+    with open(tax / "nodes.dmp", "w") as f:
+        for tid, parent, rank in nodes:
+            f.write(f"{tid}\t|\t{parent}\t|\t{rank}\t|\tXX\t|\n")
+    names = [
+        (1, "root"), (2, "Bacteria"), (1224, "Proteobacteria"),
+        (1236, "Gammaproteobacteria"), (91347, "Enterobacterales"),
+        (543, "Enterobacteriaceae"), (561, "Escherichia"),
+        (562, "Escherichia coli"), (590, "Salmonella"),
+        (28901, "Salmonella enterica"), (99901, "Cereus group thing"),
+    ]
+    with open(tax / "names.dmp", "w") as f:
+        for tid, nm in names:
+            f.write(f"{tid}\t|\t{nm}\t|\t\t|\tscientific name\t|\n")
+    with open(tax / "merged.dmp", "w") as f:
+        f.write("900\t|\t562\t|\n")  # a remap
+    with open(tax / "nucl_accss", "w") as f:
+        f.write("accession\taccession.version\ttaxid\tgi\n")
+        f.write("NC_000001\tNC_000001.1\t900\t1\n")  # remapped -> 562
+        f.write("NC_000002\tNC_000002.1\t28901\t2\n")
+        f.write("NC_000003\tNC_000003.1\t99901\t3\n")
+    for fn in ["citations.dmp", "delnodes.dmp", "division.dmp", "gc.prt",
+               "gencode.dmp", "images.dmp"]:
+        (tax / fn).touch()
+
+    # reads drawn from the genomes
+    reads_path = root / "reads.fa"
+    with open(reads_path, "w") as f:
+        for i in range(120):
+            tid = taxids[i % 3]
+            g = genomes[tid]
+            pos = rng.integers(0, len(g) - 100)
+            f.write(f">r{i}\n{g[pos:pos+100]}\n")
+    return root, db, reads_path, taxids, genomes
+
+
+def run_cli(*argv):
+    return cli.main(list(argv))
+
+
+def test_set_targets_and_build(dbdir, capsys):
+    root, db, reads, taxids, genomes = dbdir
+    rc = run_cli("db", "set-targets", str(db), "--rank", "species",
+                 "--full", "--htsize", "1048573", "-k", str(K))
+    assert rc == 0
+    tgt = open(db / "targets.txt").read().strip().splitlines()
+    assert len(tgt) == 3
+    got = {line.split("\t")[1] for line in tgt}
+    assert got == {"562", "28901", "99901"}  # incl. merged.dmp remap for 900
+
+    rc = run_cli("db", "build", str(db), "--htsize", "1048573", "-k", str(K))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Database built" in out
+    files = os.listdir(db / f"custom_0_canonical")
+    assert any(f.endswith(".sz") for f in files)
+
+
+def test_classify_and_abundance(dbdir, capsys, tmp_path, monkeypatch):
+    root, db, reads, taxids, genomes = dbdir
+    res = tmp_path / "out"
+    rc = run_cli("classify", "-D", str(db), "-O", str(reads), "-R", str(res))
+    assert rc == 0
+    lines = open(str(res) + ".csv").read().splitlines()
+    assert len(lines) == 121
+    # every read should be assigned to its source taxid
+    right = sum(
+        1 for i, l in enumerate(lines[1:]) if l.split(",")[2] == str(taxids[i % 3])
+    )
+    assert right > 115
+
+    ab = tmp_path / "ab.csv"
+    rc = run_cli("abundance", "-D", str(db), "-F", str(res) + ".csv",
+                 "-o", str(ab))
+    assert rc == 0
+    text = open(ab).read()
+    assert "Escherichia coli" in text and "Salmonella enterica" in text
+
+    merged = tmp_path / "merged.csv"
+    rc = run_cli("merge", str(ab), str(ab), "-o", str(merged))
+    assert rc == 0
+    rep = tmp_path / "report.txt"
+    rc = run_cli("report", str(merged), "-o", str(rep))
+    assert rc == 0
+    assert open(rep).read().startswith("RESULT")
+
+
+def test_classify_list_mode_and_gzip(dbdir, tmp_path):
+    root, db, reads, taxids, genomes = dbdir
+    import gzip as _gz
+
+    # gzip the reads
+    gz = tmp_path / "reads.fa.gz"
+    with open(reads, "rb") as f, _gz.open(gz, "wb") as g:
+        g.write(f.read())
+    res = tmp_path / "gzout"
+    rc = run_cli("classify", "-D", str(db), "-O", str(gz), "-R", str(res),
+                 "--gzipped")
+    assert rc == 0
+    plain = tmp_path / "plainout"
+    run_cli("classify", "-D", str(db), "-O", str(reads), "-R", str(plain))
+    assert open(str(res) + ".csv").read() == open(str(plain) + ".csv").read()
+
+    # list mode: objects file of paths + results file of paths
+    lst_o = tmp_path / "objects.txt"
+    lst_r = tmp_path / "results.txt"
+    lst_o.write_text(f"{reads}\n{reads}\n")
+    lst_r.write_text(f"{tmp_path}/lst1\n{tmp_path}/lst2\n")
+    rc = run_cli("classify", "-D", str(db), "-O", str(lst_o), "-R", str(lst_r))
+    assert rc == 0
+    assert (tmp_path / "lst1.csv").exists() and (tmp_path / "lst2.csv").exists()
+    assert open(tmp_path / "lst1.csv").read() == open(str(plain) + ".csv").read()
+
+
+def test_verify(dbdir, capsys):
+    root, db, reads, taxids, genomes = dbdir
+    rc = run_cli("verify", "--db", str(db))
+    out = capsys.readouterr().out
+    assert "STATUS:" in out
+    assert rc == 0, out
+
+
+def test_cluster_local(dbdir, tmp_path, capsys):
+    root, db, reads, taxids, genomes = dbdir
+    # second sample file
+    reads2 = tmp_path / "nodeB.fa"
+    rng = np.random.default_rng(5)
+    with open(reads2, "w") as f:
+        for i in range(40):
+            g = genomes[taxids[i % 3]]
+            pos = rng.integers(0, len(g) - 90)
+            f.write(f">b{i}\n{g[pos:pos+90]}\n")
+    conf = tmp_path / "cluster.conf"
+    import socket
+    host = socket.gethostname()
+    conf.write_text(
+        f"""[cluster]
+master = {host}
+workers = nodeB
+
+[paths]
+cuclark_dir = {tmp_path}
+database = {db}
+results_dir = results
+
+[reads]
+{host} = {reads}
+nodeB = {reads2}
+
+[classification]
+batch_size = 32
+
+[logging]
+level = info
+file = cluster_run.log
+"""
+    )
+    rc = run_cli("cluster", "-c", str(conf), "-p")
+    assert rc == 0
+    rc = run_cli("cluster", "-c", str(conf))
+    assert rc == 0
+    report = (tmp_path / "results" / "cluster_report.txt").read_text()
+    assert "Nodes processed: 2/2" in report
+    assert "Speedup:" in report
+    assert (tmp_path / "results" / "cluster_abundance.csv").exists()
+    log = (tmp_path / "logs" / "cluster_run.log").read_text()
+    assert "[INFO]" in log
