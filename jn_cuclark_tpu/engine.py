@@ -60,6 +60,7 @@ class Classifier:
         mesh: jax.sharding.Mesh | None = None,
         packed: bool = True,
         use_native: bool = True,
+        db_cycles: int = 1,
     ):
         self.profile = profile
         self.k = k
@@ -69,6 +70,7 @@ class Classifier:
         self.mesh = mesh
         self.packed = packed
         self.use_native = use_native
+        self.db_cycles = db_cycles
 
         if packed:
             table = radix_table.build(
@@ -76,6 +78,14 @@ class Classifier:
                 np.asarray(labels, dtype=np.int32) + 1,
             )
             self.table_meta = dict(m1=table.m1, m2=table.m2, c=table.slot_width)
+            if db_cycles > 1:
+                # out-of-core: keep chunks host-side, stream per cycle
+                if mesh is not None:
+                    raise NotImplementedError(
+                        "db_cycles with a mesh is not supported yet"
+                    )
+                self.table_chunks = radix_table.chunk_table(table, db_cycles)
+                return
             if mesh is not None:
                 from .parallel.mesh import shard_radix_table
 
@@ -133,6 +143,7 @@ class Classifier:
         mesh: jax.sharding.Mesh | None = None,
         packed: bool = True,
         use_native: bool = True,
+        db_cycles: int = 1,
     ) -> "Classifier":
         if isinstance(targets, str):
             targets = parse_targets(targets)
@@ -141,6 +152,21 @@ class Classifier:
         stem = os.path.join(
             folder, profile.db_stem(k, targets.n_targets, min_count_target, g)
         )
+        if not dbformat.db_exists(stem):
+            # recover from per-target .ht files if present
+            # (CuCLARK_hh.hh:633-684)
+            from .db.recovery import recover_central_db
+
+            if recover_central_db(
+                folder, targets, profile, k, min_count_target, gap=g
+            ):
+                import sys
+
+                print(
+                    "The database was recovered from saved targets-specific "
+                    "data.",
+                    file=sys.stderr,
+                )
         canonical, labels = dbformat.read_db(stem, profile, k, sampling_factor)
         return cls(
             profile,
@@ -152,6 +178,7 @@ class Classifier:
             mesh=mesh,
             packed=packed,
             use_native=use_native,
+            db_cycles=db_cycles,
         )
 
     # -------------------------------------------------------------- classify
@@ -165,9 +192,14 @@ class Classifier:
 
         if self.packed and self.use_native and _native.available():
             is_fa, ns, ne, ss, se, ln = _native.scan_reads(data)
-            gen = self._classify_native(
-                data, ns, ne, ss, se, ln, paired=paired, extended=extended
-            )
+            if self.db_cycles > 1:
+                gen = self._classify_cycled_native(
+                    data, ns, ne, ss, se, ln, paired=paired, extended=extended
+                )
+            else:
+                gen = self._classify_native(
+                    data, ns, ne, ss, se, ln, paired=paired, extended=extended
+                )
             return gen, len(ln)
         rs = parse_reads(data)
         return self._classify_readset(rs, paired=paired, extended=extended), rs.n_reads
@@ -222,10 +254,89 @@ class Classifier:
         return (",".join(cols) + "\n").encode()
 
     def _classify_readset(self, rs: ReadSet, paired: bool, extended: bool):
-        if self.packed:
+        if self.packed and self.db_cycles > 1:
+            yield from self._classify_cycled_rs(rs, paired, extended)
+        elif self.packed:
             yield from self._classify_packed(rs, paired, extended)
         else:
             yield from self._classify_flat(rs, paired, extended)
+
+    # --------------------------------------------------- out-of-core cycling
+    def _classify_cycled_rs(self, rs: ReadSet, paired: bool, extended: bool):
+        lengths = rs.read_lengths
+        names = [rs.name(i) for i in range(rs.n_reads)]
+
+        def packer(r0, r1, stride):
+            return pack.pack_batch(rs, r0, r1, stride)
+
+        def formatter(r0, r1, total, ib, b, sb, norm, counts):
+            out = []
+            for i in range(r1 - r0):
+                out.append(
+                    _format_row(
+                        names[r0 + i], int(total[i]), int(ib[i]), int(b[i]),
+                        int(sb[i]), int(norm[i]), self.k, self.target_names,
+                        counts[i] if extended else None,
+                    )
+                )
+            return b"".join(out)
+
+        yield from self._cycled_core(lengths, paired, extended, packer, formatter)
+
+    def _cycled_core(self, lengths, paired, extended, packer, formatter):
+        """Cycle-outer / batch-inner out-of-core classification: each table
+        chunk is uploaded once per file, every batch is probed against it,
+        per-read counts accumulate host-side (the reference's
+        swapDbParts/host-row merge, CuCLARK_hh.hh:1765-1772)."""
+        from .ops.device_pipeline import classify_batch_counts_chunk
+
+        k = self.k
+        norm_all = lengths - (NBN if paired else 0)
+        specs = list(self._plan_batches(lengths))
+        packed_batches = []
+        for r0, r1, stride, r_cap in specs:
+            words, vwords = packer(r0, r1, stride)
+            if r1 - r0 < r_cap:
+                words = np.concatenate(
+                    [words, np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)]
+                )
+                vwords = np.concatenate(
+                    [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
+                )
+            packed_batches.append((words, vwords))
+        acc = [None] * len(specs)
+        for chunk in self.table_chunks:
+            t1 = jnp.asarray(chunk["t1"])
+            t2 = jnp.asarray(chunk["t2"])
+            lab = jnp.asarray(chunk["labels"])
+            s1 = jnp.int32(chunk["start1"])
+            s2 = jnp.int32(chunk["start2"])
+            for bi, (words, vwords) in enumerate(packed_batches):
+                counts = classify_batch_counts_chunk(
+                    t1, t2, lab, jnp.asarray(words), jnp.asarray(vwords),
+                    s1, s2,
+                    k=k, n_targets=self.n_targets, **self.table_meta,
+                )
+                c = np.asarray(counts)
+                if acc[bi] is None:
+                    acc[bi] = c.copy()
+                else:
+                    acc[bi] += c
+        for (r0, r1, stride, r_cap), counts in zip(specs, acc):
+            nb = r1 - r0
+            t = counts[:nb, 1:]
+            total = t.sum(axis=1, dtype=np.int64)
+            best = t.max(axis=1) if t.shape[1] else np.zeros(nb, np.int32)
+            ib = t.argmax(axis=1) if t.shape[1] else np.zeros(nb, np.int64)
+            masked = t.copy()
+            if t.shape[1]:
+                masked[np.arange(nb), ib] = -1
+            sb = np.maximum(masked.max(axis=1, initial=0), 0)
+            ib1 = np.where(best > 0, ib + 1, 0)
+            yield formatter(
+                r0, r1, total, ib1, best, sb, norm_all[r0:r1],
+                counts[:nb] if extended else None,
+            )
 
     # ---------------------------------------------------- native host path
     def _classify_native(self, data, ns, ne, ss, se, lengths, paired, extended):
@@ -270,6 +381,24 @@ class Classifier:
                 yield drain(inflight.pop(0))
         for entry in inflight:
             yield drain(entry)
+
+    def _classify_cycled_native(self, data, ns, ne, ss, se, lengths, paired, extended):
+        from .utils import native as _native
+
+        names_buf = self._names_buffer()
+
+        def packer(r0, r1, stride):
+            return _native.pack_batch(data, ss[r0:r1], se[r0:r1], stride)
+
+        def formatter(r0, r1, total, ib, b, sb, norm, counts):
+            return _native.format_rows(
+                data, ns[r0:r1], ne[r0:r1], total, ib, b, sb, norm, self.k,
+                names_buf,
+                counts=counts,
+                n_targets=self.n_targets if counts is not None else 0,
+            )
+
+        yield from self._cycled_core(lengths, paired, extended, packer, formatter)
 
     def _names_buffer(self):
         from .utils import native as _native

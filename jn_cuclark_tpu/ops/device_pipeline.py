@@ -74,6 +74,28 @@ def _revcomp(v, k: int):
 @functools.partial(
     jax.jit, static_argnames=("k", "m1", "m2", "c", "n_targets")
 )
+def classify_batch_counts_chunk(
+    t1_blk, t2_blk, labels_flat, words, vwords, start1, start2,
+    *, k, m1, m2, c, n_targets,
+):
+    """Out-of-core cycle step: per-read counts against ONE table chunk.
+    Counts from disjoint chunks add (host accumulates across cycles),
+    mirroring the reference's swapDbParts + host-row merge
+    (CuClarkDB.cu:776-815, 931-948)."""
+    canon, valid = window_canonicals(words, vwords, k)
+    q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
+    lab = radix_table.probe_chunk(
+        t1_blk, t2_blk, labels_flat, q, start1, start2, m1=m1, m2=m2, c=c
+    )
+    lab = jnp.where(valid.ravel(), lab, 0)
+    R, S = valid.shape
+    rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
+    return score.counts_from_hits(lab, rid, R, n_targets)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m1", "m2", "c", "n_targets")
+)
 def classify_batch(
     t1_keys, t2_keys, labels, words, vwords, *, k, m1, m2, c, n_targets
 ):

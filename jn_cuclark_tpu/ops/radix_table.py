@@ -100,6 +100,73 @@ def build(keys: np.ndarray, labels1: np.ndarray, c: int = 8, load: float = 0.5) 
     )
 
 
+def chunk_table(table: RadixTable, n_chunks: int):
+    """Split a RadixTable row-wise into n_chunks contiguous chunks for
+    out-of-core cycling (the reference's DB parts/cycles scheme,
+    CuClarkDB.cu:526-565): every canonical key lives in exactly one chunk, so
+    per-chunk hit counts add across cycles.
+
+    Returns a list of dicts with t1/t2 row blocks, a per-chunk flat label
+    array, and the global start rows (for masked local probing).
+    """
+    c = table.slot_width
+
+    def pad_rows(a, fill, dtype):
+        r = (-a.shape[0]) % n_chunks
+        if r:
+            a = np.concatenate([a, np.full((r,) + a.shape[1:], fill, dtype)])
+        return a
+
+    t1 = pad_rows(table.t1_keys, EMPTY, np.uint64)
+    t2 = pad_rows(table.t2_keys, EMPTY, np.uint64)
+    n1o, n2o = table.t1_keys.shape[0], table.t2_keys.shape[0]
+    l1 = np.zeros((t1.shape[0], c), np.int32)
+    l1[:n1o] = table.labels[: n1o * c].reshape(-1, c)
+    l2 = np.zeros((t2.shape[0], c), np.int32)
+    l2[:n2o] = table.labels[n1o * c :].reshape(-1, c)
+    r1 = t1.shape[0] // n_chunks
+    r2 = t2.shape[0] // n_chunks
+    out = []
+    for i in range(n_chunks):
+        out.append(
+            dict(
+                t1=t1[i * r1 : (i + 1) * r1],
+                t2=t2[i * r2 : (i + 1) * r2],
+                labels=np.concatenate(
+                    [l1[i * r1 : (i + 1) * r1].ravel(), l2[i * r2 : (i + 1) * r2].ravel()]
+                ),
+                start1=i * r1,
+                start2=i * r2,
+            )
+        )
+    return out
+
+
+def probe_chunk(t1_blk, t2_blk, labels_flat, q, start1, start2, *, m1: int, m2: int, c: int):
+    """Masked probe of one row-chunk: like `probe` but rows [start, start+R)
+    of each level; out-of-range buckets miss.  start1/start2 are traced
+    scalars so one compilation serves every chunk."""
+    import jax.numpy as jnp
+
+    rows1_per = t1_blk.shape[0]
+    rows2_per = t2_blk.shape[0]
+
+    def level(tbl, mult, mbits, rows_per, base, start):
+        b = ((q * jnp.uint64(mult)) >> jnp.uint64(64 - mbits)).astype(jnp.int32)
+        lrow = b - start
+        inrange = (lrow >= 0) & (lrow < rows_per)
+        lrow = jnp.clip(lrow, 0, rows_per - 1)
+        rows = tbl[lrow]
+        hit = (rows == q[:, None]) & inrange[:, None]
+        s = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        return jnp.any(hit, axis=1), base + lrow * c + s
+
+    any1, idx1 = level(t1_blk, _MIX1, m1, rows1_per, 0, start1)
+    any2, idx2 = level(t2_blk, _MIX2, m2, rows2_per, rows1_per * c, start2)
+    lab = jnp.where(any1, labels_flat[idx1], jnp.where(any2, labels_flat[idx2], 0))
+    return jnp.where(any1 | any2, lab, 0)
+
+
 def probe(t1_keys, t2_keys, labels, q, *, m1: int, m2: int, c: int):
     """Device-side lookup: label+1 per query, 0 on miss.  jax arrays in,
     jax array out; static m1/m2/c."""

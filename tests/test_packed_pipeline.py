@@ -100,3 +100,32 @@ def test_native_host_path_equals_python(setup):
         f"@q{i}\n{rand_seq(rng, 120)}\n+\n{'I'*120}\n" for i in range(50)
     ).encode()
     assert b"".join(py.classify_bytes(fq)[0]) == b"".join(nat.classify_bytes(fq)[0])
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_cycled_equals_single(setup, use_native):
+    """Out-of-core DB cycling (table streamed in chunks) must match the
+    resident-table path exactly."""
+    if use_native:
+        from jn_cuclark_tpu.utils import native
+        if not native.available():
+            pytest.skip("native library not built")
+    tmp_path, prof, targets, fa = setup
+    plan = BatchPlan(window_budget=1 << 14)
+    single = Classifier.load(
+        str(tmp_path), targets, prof, K, plan=plan, use_native=use_native
+    )
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
+    for cycles in (2, 5):
+        cyc = Classifier.load(
+            str(tmp_path), targets, prof, K, plan=plan,
+            use_native=use_native, db_cycles=cycles,
+        )
+        assert rows1 == oracle.rows(cyc.classify_bytes(fa)[0]), f"cycles={cycles}"
+    # extended mode
+    ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
+    cyc = Classifier.load(
+        str(tmp_path), targets, prof, K, plan=plan,
+        use_native=use_native, db_cycles=3,
+    )
+    assert ext1 == oracle.rows(cyc.classify_bytes(fa, extended=True)[0])
