@@ -76,8 +76,9 @@ class Classifier:
             table = radix_table.build(
                 np.asarray(canonical, dtype=np.uint64),
                 np.asarray(labels, dtype=np.int32) + 1,
+                k=k,
             )
-            self.table_meta = dict(m1=table.m1, m2=table.m2, c=table.slot_width)
+            self.table_meta = table.meta
             if db_cycles > 1:
                 # out-of-core: keep chunks host-side, stream per cycle
                 if mesh is not None:
@@ -85,24 +86,27 @@ class Classifier:
                         "db_cycles with a mesh is not supported yet"
                     )
                 self.table_chunks = radix_table.chunk_table(table, db_cycles)
+                self.stash = (table.stash_keys, table.stash_labels)
                 return
             if mesh is not None:
                 from .parallel.mesh import shard_radix_table
 
-                (self.t1, self.t2, self.lab_flat), self.batch_fn = shard_radix_table(
+                (self.slots, self.lab_flat), self.batch_fn = shard_radix_table(
                     mesh, table, self.n_targets, self.k
                 )
             else:
-                self.t1 = jax.device_put(table.t1_keys)
-                self.t2 = jax.device_put(table.t2_keys)
+                self.slots = jax.device_put(table.slots)
                 self.lab_flat = jax.device_put(table.labels)
+                self.stash_k = jax.device_put(table.stash_keys)
+                self.stash_l = jax.device_put(table.stash_labels)
                 meta = self.table_meta
 
                 def batch_fn(words, vwords):
                     return device_pipeline.classify_batch(
-                        self.t1,
-                        self.t2,
+                        self.slots,
                         self.lab_flat,
+                        self.stash_k,
+                        self.stash_l,
                         words,
                         vwords,
                         k=self.k,
@@ -305,16 +309,18 @@ class Classifier:
                 )
             packed_batches.append((words, vwords))
         acc = [None] * len(specs)
+        sk = jnp.asarray(self.stash[0])
+        sl = jnp.asarray(self.stash[1])
         for chunk in self.table_chunks:
-            t1 = jnp.asarray(chunk["t1"])
-            t2 = jnp.asarray(chunk["t2"])
+            slots = jnp.asarray(chunk["slots"])
             lab = jnp.asarray(chunk["labels"])
-            s1 = jnp.int32(chunk["start1"])
-            s2 = jnp.int32(chunk["start2"])
+            start = jnp.int32(chunk["start_row"])
+            use_stash = jnp.bool_(chunk["use_stash"])
             for bi, (words, vwords) in enumerate(packed_batches):
                 counts = classify_batch_counts_chunk(
-                    t1, t2, lab, jnp.asarray(words), jnp.asarray(vwords),
-                    s1, s2,
+                    slots, lab, sk, sl,
+                    jnp.asarray(words), jnp.asarray(vwords),
+                    start, use_stash,
                     k=k, n_targets=self.n_targets, **self.table_meta,
                 )
                 c = np.asarray(counts)

@@ -72,11 +72,11 @@ def _revcomp(v, k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "m1", "m2", "c", "n_targets")
+    jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets")
 )
 def classify_batch_counts_chunk(
-    t1_blk, t2_blk, labels_flat, words, vwords, start1, start2,
-    *, k, m1, m2, c, n_targets,
+    slots_blk, labels_blk, stash_keys, stash_labels, words, vwords,
+    start_row, use_stash, *, k, m1, lb, c, n_targets,
 ):
     """Out-of-core cycle step: per-read counts against ONE table chunk.
     Counts from disjoint chunks add (host accumulates across cycles),
@@ -85,7 +85,8 @@ def classify_batch_counts_chunk(
     canon, valid = window_canonicals(words, vwords, k)
     q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
     lab = radix_table.probe_chunk(
-        t1_blk, t2_blk, labels_flat, q, start1, start2, m1=m1, m2=m2, c=c
+        slots_blk, labels_blk, stash_keys, stash_labels, q, start_row,
+        m1=m1, lb=lb, c=c, use_stash=use_stash,
     )
     lab = jnp.where(valid.ravel(), lab, 0)
     R, S = valid.shape
@@ -94,16 +95,19 @@ def classify_batch_counts_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "m1", "m2", "c", "n_targets")
+    jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets")
 )
 def classify_batch(
-    t1_keys, t2_keys, labels, words, vwords, *, k, m1, m2, c, n_targets
+    slots, labels, stash_keys, stash_labels, words, vwords,
+    *, k, m1, lb, c, n_targets,
 ):
     """Full single-device batch step; returns (total, ibest, best, sbest,
     counts[R, T+1])."""
     canon, valid = window_canonicals(words, vwords, k)
     q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
-    lab = radix_table.probe(t1_keys, t2_keys, labels, q, m1=m1, m2=m2, c=c)
+    lab = radix_table.probe(
+        slots, labels, stash_keys, stash_labels, q, m1=m1, lb=lb, c=c
+    )
     lab = jnp.where(valid.ravel(), lab, 0)
     R, S = valid.shape
     rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)

@@ -19,8 +19,13 @@ from ..io.fasta import ReadSet
 
 
 def quantized_stride(max_len: int) -> int:
-    """Smallest 64*2^j >= max_len (bounds jit recompilation to a few shapes)."""
-    s = 64
+    """Smallest allowed stride >= max_len.  Strides are multiples of 64 up to
+    1024 (fine-grained: short-read batches waste few pad slots) and powers of
+    two above (bounds jit recompilation; each shape compiles once and is
+    persisted in the jit cache)."""
+    if max_len <= 1024:
+        return max(64, (max_len + 63) // 64 * 64)
+    s = 2048
     while s < max_len:
         s *= 2
     return s

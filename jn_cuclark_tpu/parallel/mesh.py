@@ -34,13 +34,13 @@ except ImportError:  # pragma: no cover - older jax
 
 def shard_radix_table(mesh: Mesh, table, n_targets: int, k: int):
     """Shard a RadixTable row-wise over the mesh and return
-    ((t1, t2, labels) device arrays, batch_fn(words, vwords) -> results).
+    ((slots, labels) device arrays, batch_fn(words, vwords) -> results).
 
-    Both levels are split into contiguous row chunks (rows padded to a
-    multiple of the device count with EMPTY rows — queries can still hash
-    into padded rows, which simply miss).  Each device probes its local rows
-    and the per-query labels are merged with a psum: a key lives in exactly
-    one table row, hence on exactly one device.
+    Rows are split into contiguous chunks (padded to a multiple of the
+    device count with EMPTY rows — queries can still hash into padded rows,
+    which simply miss).  Each device probes its local rows and the per-query
+    labels are merged with a psum: a key lives in exactly one row, hence on
+    exactly one device; the tiny stash is replicated but gated to device 0.
     """
     import numpy as np
 
@@ -49,70 +49,49 @@ def shard_radix_table(mesh: Mesh, table, n_targets: int, k: int):
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     c = table.slot_width
+    lb = table.lb
+    m1 = table.m1
 
-    def pad_rows(a):
-        r = (-a.shape[0]) % ndev
-        if r:
-            a = np.concatenate(
-                [a, np.full((r,) + a.shape[1:], radix_table.EMPTY, a.dtype)]
-            )
-        return a
-
-    t1 = pad_rows(table.t1_keys)
-    t2 = pad_rows(table.t2_keys)
-    n1, n2 = t1.shape[0], t2.shape[0]
-    rows1_per, rows2_per = n1 // ndev, n2 // ndev
-    # per-shard flat labels: [shard, rows1_per*c + rows2_per*c]
-    n1_orig, n2_orig = table.t1_keys.shape[0], table.t2_keys.shape[0]
-    l1 = np.zeros((n1, c), np.int32)
-    l1[:n1_orig] = table.labels[: n1_orig * c].reshape(-1, c)
-    l2 = np.zeros((n2, c), np.int32)
-    l2[:n2_orig] = table.labels[n1_orig * c :].reshape(-1, c)
-    lab_sharded = np.concatenate(
-        [
-            l1.reshape(ndev, rows1_per * c),
-            l2.reshape(ndev, rows2_per * c),
-        ],
-        axis=1,
-    )  # [ndev, rows1_per*c + rows2_per*c]
+    slots = table.slots
+    r = (-slots.shape[0]) % ndev
+    labels = table.labels
+    if r:
+        slots = np.concatenate(
+            [slots, np.full((r, c), radix_table.EMPTY, np.uint64)]
+        )
+        if labels.size:
+            labels = np.concatenate([labels, np.zeros(r * c, np.uint32)])
+    rows_per = slots.shape[0] // ndev
 
     shard = NamedSharding(mesh, P(axis))
-    t1_d = jax.device_put(jnp.asarray(t1), shard)
-    t2_d = jax.device_put(jnp.asarray(t2), shard)
-    lab_d = jax.device_put(jnp.asarray(lab_sharded), shard)
     repl = NamedSharding(mesh, P())
+    slots_d = jax.device_put(jnp.asarray(slots), shard)
+    if labels.size:
+        lab_d = jax.device_put(
+            jnp.asarray(labels.reshape(ndev, rows_per * c)), shard
+        )
+    else:
+        lab_d = jax.device_put(
+            jnp.zeros((ndev, 1), jnp.uint32), shard
+        )
+    sk_d = jax.device_put(jnp.asarray(table.stash_keys), repl)
+    sl_d = jax.device_put(jnp.asarray(table.stash_labels), repl)
 
-    m1, m2 = table.m1, table.m2
-
-    def local_fn(t1_blk, t2_blk, lab_blk, words, vwords):
+    def local_fn(slots_blk, lab_blk, stash_keys, stash_labels, words, vwords):
         canon, valid = device_pipeline.window_canonicals(words, vwords, k)
         q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
         d = jax.lax.axis_index(axis)
-        lab_flat = lab_blk.reshape(-1)
-
-        def probe_level(tbl, mult, mbits, rows_per, base, start_row):
-            b = ((q * mult) >> jnp.uint64(64 - mbits)).astype(jnp.int32)
-            lrow = b - start_row
-            inrange = (lrow >= 0) & (lrow < rows_per)
-            lrow = jnp.clip(lrow, 0, rows_per - 1)
-            rows = tbl[lrow]
-            hit = (rows == q[:, None]) & inrange[:, None]
-            s = jnp.argmax(hit, axis=1).astype(jnp.int32)
-            return jnp.any(hit, axis=1), base + lrow * c + s
-
-        any1, idx1 = probe_level(
-            t1_blk, jnp.uint64(radix_table._MIX1), m1, rows1_per, 0, d * rows1_per
-        )
-        any2, idx2 = probe_level(
-            t2_blk,
-            jnp.uint64(radix_table._MIX2),
-            m2,
-            rows2_per,
-            rows1_per * c,
-            d * rows2_per,
-        )
-        lab = jnp.where(
-            any1, lab_flat[idx1], jnp.where(any2, lab_flat[idx2], 0)
+        lab = radix_table.probe_chunk(
+            slots_blk,
+            lab_blk.reshape(-1),
+            stash_keys,
+            stash_labels,
+            q,
+            d * rows_per,
+            m1=m1,
+            lb=lb,
+            c=c,
+            use_stash=(d == 0),
         )
         lab = jax.lax.psum(lab, axis)
         lab = jnp.where(valid.ravel(), lab, 0)
@@ -125,7 +104,7 @@ def shard_radix_table(mesh: Mesh, table, n_targets: int, k: int):
     fn = shard_map(
         local_fn,
         mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
     )
     jfn = jax.jit(fn)
@@ -133,9 +112,9 @@ def shard_radix_table(mesh: Mesh, table, n_targets: int, k: int):
     def batch_fn(words, vwords):
         words = jax.device_put(words, repl)
         vwords = jax.device_put(vwords, repl)
-        return jfn(t1_d, t2_d, lab_d, words, vwords)
+        return jfn(slots_d, lab_d, sk_d, sl_d, words, vwords)
 
-    return (t1_d, t2_d, lab_d), batch_fn
+    return (slots_d, lab_d), batch_fn
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "db") -> Mesh:

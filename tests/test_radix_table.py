@@ -8,59 +8,77 @@ import jax.numpy as jnp
 from jn_cuclark_tpu.ops import radix_table
 
 
+def _probe(t, q):
+    return np.asarray(
+        radix_table.probe(
+            jnp.asarray(t.slots),
+            jnp.asarray(t.labels),
+            jnp.asarray(t.stash_keys),
+            jnp.asarray(t.stash_labels),
+            jnp.asarray(q),
+            **t.meta,
+        )
+    )
+
+
 @pytest.mark.parametrize("n", [0, 5, 1000, 200_000])
-def test_build_and_probe(n):
-    rng = np.random.default_rng(n or 1)
+@pytest.mark.parametrize("k", [27, None])  # packed labels vs separate array
+def test_build_and_probe(n, k):
+    rng = np.random.default_rng((n or 1) + (k or 0))
     keys = np.unique(rng.integers(0, 1 << 54, size=max(2 * n, 1), dtype=np.uint64))[:n]
     labels1 = rng.integers(1, 100, size=n).astype(np.int32)
-    t = radix_table.build(keys, labels1)
+    t = radix_table.build(keys, labels1, k=k)
+    assert (t.lb > 0) == (k is not None and n > 0 or k is not None)
 
-    # every key retrievable
     if n:
-        got = radix_table.probe(
-            jnp.asarray(t.t1_keys),
-            jnp.asarray(t.t2_keys),
-            jnp.asarray(t.labels),
-            jnp.asarray(keys),
-            m1=t.m1,
-            m2=t.m2,
-            c=t.slot_width,
-        )
-        assert np.array_equal(np.asarray(got), labels1)
-
-    # misses return 0
+        assert np.array_equal(_probe(t, keys), labels1)
     miss = np.unique(rng.integers(0, 1 << 54, size=1000, dtype=np.uint64))
     miss = miss[~np.isin(miss, keys)]
-    got = radix_table.probe(
-        jnp.asarray(t.t1_keys),
-        jnp.asarray(t.t2_keys),
-        jnp.asarray(t.labels),
-        jnp.asarray(miss),
-        m1=t.m1,
-        m2=t.m2,
-        c=t.slot_width,
-    )
-    assert not np.asarray(got).any()
-
-    # padding sentinel queries miss
-    got = radix_table.probe(
-        jnp.asarray(t.t1_keys),
-        jnp.asarray(t.t2_keys),
-        jnp.asarray(t.labels),
-        jnp.asarray(np.full(16, radix_table.EMPTY, dtype=np.uint64)),
-        m1=t.m1,
-        m2=t.m2,
-        c=t.slot_width,
-    )
-    assert not np.asarray(got).any()
+    assert not _probe(t, miss).any()
+    assert not _probe(t, np.full(16, radix_table.EMPTY, dtype=np.uint64)).any()
 
 
-def test_all_keys_stored_once():
+def test_stash_used_and_exact():
+    """Force heavy bucket overflow into the stash by tiny table + low c."""
     rng = np.random.default_rng(3)
-    keys = np.unique(rng.integers(0, 1 << 54, size=50_000, dtype=np.uint64))
+    keys = np.unique(rng.integers(0, 1 << 54, size=3000, dtype=np.uint64))
+    labels1 = rng.integers(1, 50, size=len(keys)).astype(np.int32)
+    t = radix_table.build(keys, labels1, k=27, c=4, load=16.0)
+    # either stash has entries or the build bumped m1; both must stay exact
+    assert np.array_equal(_probe(t, keys), labels1)
+
+
+def test_label_packing_fallback_many_targets():
+    """k=31 leaves only 2 free bits -> must fall back to a label array."""
+    rng = np.random.default_rng(4)
+    keys = np.unique(rng.integers(0, 1 << 62, size=5000, dtype=np.uint64))
+    labels1 = rng.integers(1, 5000, size=len(keys)).astype(np.int32)
+    t = radix_table.build(keys, labels1, k=31)
+    assert t.lb == 0 and t.labels.size > 0
+    assert np.array_equal(_probe(t, keys), labels1)
+
+
+def test_chunked_probe_covers_all():
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 1 << 54, size=20_000, dtype=np.uint64))
     labels1 = rng.integers(1, 100, size=len(keys)).astype(np.int32)
-    t = radix_table.build(keys, labels1)
-    stored = np.concatenate([t.t1_keys.ravel(), t.t2_keys.ravel()])
-    stored = stored[stored != radix_table.EMPTY]
-    assert len(stored) == len(keys)
-    assert np.array_equal(np.sort(stored), keys)
+    t = radix_table.build(keys, labels1, k=27)
+    chunks = radix_table.chunk_table(t, 3)
+    got = np.zeros(len(keys), np.int32)
+    for ch in chunks:
+        lab = np.asarray(
+            radix_table.probe_chunk(
+                jnp.asarray(ch["slots"]),
+                jnp.asarray(ch["labels"]),
+                jnp.asarray(t.stash_keys),
+                jnp.asarray(t.stash_labels),
+                jnp.asarray(keys),
+                jnp.int32(ch["start_row"]),
+                m1=t.m1,
+                lb=t.lb,
+                c=t.slot_width,
+                use_stash=jnp.bool_(ch["use_stash"]),
+            )
+        )
+        got = np.maximum(got, lab)
+    assert np.array_equal(got, labels1)
