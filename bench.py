@@ -20,13 +20,16 @@ import time
 import numpy as np
 
 
-def make_workload(tmpdir, n_reads=20000, read_len=150, genome_len=200_000, seed=0):
+def make_workload(tmpdir, n_reads=20000, read_len=150, genome_len=None, seed=0):
     from jn_cuclark_tpu import params
     from jn_cuclark_tpu.db import builder
     from jn_cuclark_tpu.io.targets import parse_targets
 
     rng = np.random.default_rng(seed)
-    prof = params.LIGHT  # real cuCLARK-l table size (57,777,779 buckets)
+    light = os.environ.get("BENCH_PROFILE", "full") == "light"
+    prof = params.LIGHT if light else params.FULL
+    if genome_len is None:
+        genome_len = int(os.environ.get("BENCH_GENOME_LEN", "2000000"))
     k = prof.default_k
     genomes = []
     with open(os.path.join(tmpdir, "targets.txt"), "w") as tf:
@@ -57,7 +60,7 @@ def main():
     import jn_cuclark_tpu  # noqa: F401
     from jn_cuclark_tpu.engine import BatchPlan, Classifier
 
-    n_reads = int(os.environ.get("BENCH_READS", "20000"))
+    n_reads = int(os.environ.get("BENCH_READS", "100000"))
     with tempfile.TemporaryDirectory() as td:
         prof, k, targets, fa = make_workload(td, n_reads=n_reads)
         clf = Classifier.load(

@@ -97,6 +97,7 @@ def _load_classifier(args):
         sampling_factor=args.sampling_factor,
         gap=args.gap or cfg.gap,
         mesh=mesh,
+        db_cycles=getattr(args, "db_cycles", 1),
     )
 
 
@@ -143,19 +144,31 @@ def cmd_classify(args):
                         if oline and rline:
                             pairs.append((oline, None, rline))
 
+        from .utils import profiling
+
         total_reads = 0
-        for obj, mate, res in pairs:
-            print(f"Classifying: {obj}", file=sys.stderr)
-            stats = clf.classify_file(
-                obj, res, paired_path=mate, extended=args.extended
-            )
-            total_reads += stats["reads"]
-            print(
-                f"Done in {stats['seconds']:.1f}s "
-                f"({stats['reads_per_min']} reads/min, {stats['reads']} reads)",
-                file=sys.stderr,
-            )
-            print(f"Results: {stats['result']}", file=sys.stderr)
+        with profiling.trace(getattr(args, "trace_dir", None)):
+            for obj, mate, res in pairs:
+                print(f"Classifying: {obj}", file=sys.stderr)
+                if getattr(args, "profile", False):
+                    ctx = profiling.collect()
+                else:
+                    import contextlib
+
+                    ctx = contextlib.nullcontext()
+                with ctx as phases:
+                    stats = clf.classify_file(
+                        obj, res, paired_path=mate, extended=args.extended
+                    )
+                total_reads += stats["reads"]
+                print(
+                    f"Done in {stats['seconds']:.1f}s "
+                    f"({stats['reads_per_min']} reads/min, {stats['reads']} reads)",
+                    file=sys.stderr,
+                )
+                print(f"Results: {stats['result']}", file=sys.stderr)
+                if phases is not None:
+                    print(phases.summary(), file=sys.stderr)
     return 0
 
 
@@ -333,6 +346,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--extended", action="store_true", help="per-target score columns")
     pc.add_argument("--gzipped", action="store_true", help="inputs are gzipped")
     pc.add_argument("-d", "--devices", type=int, default=None, help="devices to shard the DB over")
+    pc.add_argument("--db-cycles", type=int, default=1,
+                    help="stream the DB index in N chunks (out-of-core)")
+    pc.add_argument("--profile", action="store_true", help="print phase timing summary")
+    pc.add_argument("--trace-dir", default=None, help="capture a jax.profiler trace")
     pc.set_defaults(fn=cmd_classify)
 
     pa = sub.add_parser("abundance", help="abundance estimation from result CSVs")

@@ -35,6 +35,7 @@ from .io.targets import TargetsDef, parse_targets
 from .kmer import canonical_u64, window_values_le
 from .ops import device_pipeline, lookup, pack, radix_table, score
 from .params import NBN, Profile
+from .utils.profiling import maybe_phase
 
 
 @dataclasses.dataclass
@@ -61,6 +62,7 @@ class Classifier:
         packed: bool = True,
         use_native: bool = True,
         db_cycles: int = 1,
+        index_cache: str | None = None,
     ):
         self.profile = profile
         self.k = k
@@ -73,11 +75,20 @@ class Classifier:
         self.db_cycles = db_cycles
 
         if packed:
-            table = radix_table.build(
-                np.asarray(canonical, dtype=np.uint64),
-                np.asarray(labels, dtype=np.int32) + 1,
-                k=k,
-            )
+            table = None
+            if index_cache is not None and os.path.exists(index_cache):
+                table = radix_table.load_cache(index_cache)
+            if table is None:
+                table = radix_table.build(
+                    np.asarray(canonical, dtype=np.uint64),
+                    np.asarray(labels, dtype=np.int32) + 1,
+                    k=k,
+                )
+                if index_cache is not None:
+                    try:
+                        radix_table.save_cache(index_cache, table)
+                    except OSError:
+                        pass
             self.table_meta = table.meta
             if db_cycles > 1:
                 # out-of-core: keep chunks host-side, stream per cycle
@@ -156,6 +167,7 @@ class Classifier:
         stem = os.path.join(
             folder, profile.db_stem(k, targets.n_targets, min_count_target, g)
         )
+        cache = stem + ".idx.npz"
         if not dbformat.db_exists(stem):
             # recover from per-target .ht files if present
             # (CuCLARK_hh.hh:633-684)
@@ -171,7 +183,21 @@ class Classifier:
                     "data.",
                     file=sys.stderr,
                 )
-        canonical, labels = dbformat.read_db(stem, profile, k, sampling_factor)
+        # device-index cache: valid only if newer than the DB files and the
+        # load is unsampled (sampling changes the key set)
+        use_cache = sampling_factor == 1
+        if use_cache and os.path.exists(cache):
+            if os.path.getmtime(cache) < os.path.getmtime(stem + ".ky"):
+                use_cache = False
+                try:
+                    os.remove(cache)
+                except OSError:
+                    pass
+        if use_cache and os.path.exists(cache) and packed:
+            canonical = np.zeros(0, np.uint64)
+            labels = np.zeros(0, np.uint16)
+        else:
+            canonical, labels = dbformat.read_db(stem, profile, k, sampling_factor)
         return cls(
             profile,
             k,
@@ -183,6 +209,7 @@ class Classifier:
             packed=packed,
             use_native=use_native,
             db_cycles=db_cycles,
+            index_cache=cache if use_cache else None,
         )
 
     # -------------------------------------------------------------- classify
@@ -195,7 +222,8 @@ class Classifier:
         from .utils import native as _native
 
         if self.packed and self.use_native and _native.available():
-            is_fa, ns, ne, ss, se, ln = _native.scan_reads(data)
+            with maybe_phase("scan"):
+                is_fa, ns, ne, ss, se, ln = _native.scan_reads(data)
             if self.db_cycles > 1:
                 gen = self._classify_cycled_native(
                     data, ns, ne, ss, se, ln, paired=paired, extended=extended
@@ -354,30 +382,34 @@ class Classifier:
         names_buf = self._names_buffer()
 
         def dispatch(r0, r1, stride, r_cap):
-            words, vwords = _native.pack_batch(data, ss[r0:r1], se[r0:r1], stride)
-            if r1 - r0 < r_cap:
-                words = np.concatenate(
-                    [words, np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)]
-                )
-                vwords = np.concatenate(
-                    [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
-                )
-            return (r0, r1), self.batch_fn(jnp.asarray(words), jnp.asarray(vwords))
+            with maybe_phase("pack"):
+                words, vwords = _native.pack_batch(data, ss[r0:r1], se[r0:r1], stride)
+                if r1 - r0 < r_cap:
+                    words = np.concatenate(
+                        [words, np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)]
+                    )
+                    vwords = np.concatenate(
+                        [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
+                    )
+            with maybe_phase("dispatch"):
+                return (r0, r1), self.batch_fn(jnp.asarray(words), jnp.asarray(vwords))
 
         def drain(entry):
             (r0, r1), (total, ib, b, sb, counts) = entry
             nb = r1 - r0
-            total = np.asarray(total)[:nb]
-            ib = np.asarray(ib)[:nb]
-            b = np.asarray(b)[:nb]
-            sb = np.asarray(sb)[:nb]
-            counts_h = np.asarray(counts)[:nb] if extended else None
-            return _native.format_rows(
-                data, ns[r0:r1], ne[r0:r1], total, ib, b, sb, norm[r0:r1], k,
-                names_buf,
-                counts=counts_h,
-                n_targets=self.n_targets if extended else 0,
-            )
+            with maybe_phase("device_wait"):
+                total = np.asarray(total)[:nb]
+                ib = np.asarray(ib)[:nb]
+                b = np.asarray(b)[:nb]
+                sb = np.asarray(sb)[:nb]
+                counts_h = np.asarray(counts)[:nb] if extended else None
+            with maybe_phase("format"):
+                return _native.format_rows(
+                    data, ns[r0:r1], ne[r0:r1], total, ib, b, sb, norm[r0:r1],
+                    k, names_buf,
+                    counts=counts_h,
+                    n_targets=self.n_targets if extended else 0,
+                )
 
         DEPTH = 2
         inflight: list = []

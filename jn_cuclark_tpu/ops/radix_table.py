@@ -135,6 +135,41 @@ def build(
     )
 
 
+_CACHE_VERSION = 1
+
+
+def save_cache(path: str, table: RadixTable):
+    """Persist the built table so repeat loads skip the ~1s/M-key build."""
+    np.savez(
+        path,
+        version=_CACHE_VERSION,
+        slots=table.slots,
+        labels=table.labels,
+        stash_keys=table.stash_keys,
+        stash_labels=table.stash_labels,
+        meta=np.array([table.m1, table.lb, table.slot_width]),
+    )
+
+
+def load_cache(path: str) -> RadixTable | None:
+    try:
+        z = np.load(path)
+        if int(z["version"]) != _CACHE_VERSION:
+            return None
+        m1, lb, c = (int(x) for x in z["meta"])
+        return RadixTable(
+            slots=z["slots"],
+            labels=z["labels"],
+            stash_keys=z["stash_keys"],
+            stash_labels=z["stash_labels"],
+            m1=m1,
+            lb=lb,
+            slot_width=c,
+        )
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def _probe_rows(slots, labels, q, b, lb, c, base_slot):
     """Match q against its gathered row; returns (hit, label+1)."""
     import jax.numpy as jnp
