@@ -98,6 +98,7 @@ def _load_classifier(args):
         gap=args.gap or cfg.gap,
         mesh=mesh,
         db_cycles=getattr(args, "db_cycles", 1),
+        mesh_mode="db" if getattr(args, "shard_db", False) else "dp",
     )
 
 
@@ -346,6 +347,9 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--extended", action="store_true", help="per-target score columns")
     pc.add_argument("--gzipped", action="store_true", help="inputs are gzipped")
     pc.add_argument("-d", "--devices", type=int, default=None, help="devices to shard the DB over")
+    pc.add_argument("--shard-db", action="store_true",
+                    help="shard the DB index over devices (for DBs larger "
+                         "than one device's memory) instead of sharding reads")
     pc.add_argument("--db-cycles", type=int, default=1,
                     help="stream the DB index in N chunks (out-of-core)")
     pc.add_argument("--profile", action="store_true", help="print phase timing summary")

@@ -63,6 +63,7 @@ class Classifier:
         use_native: bool = True,
         db_cycles: int = 1,
         index_cache: str | None = None,
+        mesh_mode: str = "dp",
     ):
         self.profile = profile
         self.k = k
@@ -100,9 +101,10 @@ class Classifier:
                 self.stash = (table.stash_keys, table.stash_labels)
                 return
             if mesh is not None:
-                from .parallel.mesh import shard_radix_table
+                from .parallel.mesh import shard_radix_table, shard_reads
 
-                (self.slots, self.lab_flat), self.batch_fn = shard_radix_table(
+                sharder = shard_reads if mesh_mode == "dp" else shard_radix_table
+                (self.slots, self.lab_flat), self.batch_fn = sharder(
                     mesh, table, self.n_targets, self.k
                 )
             else:
@@ -159,6 +161,7 @@ class Classifier:
         packed: bool = True,
         use_native: bool = True,
         db_cycles: int = 1,
+        mesh_mode: str = "dp",
     ) -> "Classifier":
         if isinstance(targets, str):
             targets = parse_targets(targets)
@@ -210,6 +213,7 @@ class Classifier:
             use_native=use_native,
             db_cycles=db_cycles,
             index_cache=cache if use_cache else None,
+            mesh_mode=mesh_mode,
         )
 
     # -------------------------------------------------------------- classify

@@ -117,6 +117,60 @@ def shard_radix_table(mesh: Mesh, table, n_targets: int, k: int):
     return (slots_d, lab_d), batch_fn
 
 
+def shard_reads(mesh: Mesh, table, n_targets: int, k: int):
+    """Data-parallel mode: DB replicated, READ ROWS sharded over the mesh.
+
+    This is the throughput-scaling mode (the row-gather probe costs ~15ns per
+    QUERY regardless of table size, so splitting the queries divides device
+    time by P, while splitting the DB does not).  Equivalent to the
+    reference's multi-node sample parallelism (kent-mpi), but within one
+    batch over ICI.  No collectives: every read's windows live on one device;
+    outputs come back row-sharded.
+    """
+    from ..ops import device_pipeline, radix_table, score
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(axis))
+    slots_d = jax.device_put(jnp.asarray(table.slots), repl)
+    lab_d = jax.device_put(jnp.asarray(table.labels), repl)
+    sk_d = jax.device_put(jnp.asarray(table.stash_keys), repl)
+    sl_d = jax.device_put(jnp.asarray(table.stash_labels), repl)
+    meta = table.meta
+
+    def local_fn(slots, labels, sk, sl, words, vwords):
+        return device_pipeline.classify_batch(
+            slots, labels, sk, sl, words, vwords,
+            k=k, n_targets=n_targets, **meta,
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+    )
+    jfn = jax.jit(fn)
+
+    def batch_fn(words, vwords):
+        import numpy as np
+
+        r = (-words.shape[0]) % ndev
+        if r:
+            words = jnp.concatenate(
+                [words, jnp.zeros((r, words.shape[1]), jnp.uint64)]
+            )
+            vwords = jnp.concatenate(
+                [vwords, jnp.zeros((r, vwords.shape[1]), jnp.uint64)]
+            )
+        words = jax.device_put(words, rows)
+        vwords = jax.device_put(vwords, rows)
+        return jfn(slots_d, lab_d, sk_d, sl_d, words, vwords)
+
+    return (slots_d, lab_d), batch_fn
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "db") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

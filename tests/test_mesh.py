@@ -61,3 +61,23 @@ def test_mesh_subset_devices(db):
     mesh = make_mesh(n_devices=3)
     sharded = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, mesh=mesh)
     assert rows1 == oracle.rows(sharded.classify_bytes(fa)[0])
+
+
+def test_dp_mode_matches_single(db):
+    """Read-sharded (data-parallel) mesh mode must match single-device."""
+    tmp_path, prof, targets, fa = db
+    plan = BatchPlan(window_budget=1 << 14)
+    single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
+    for nd in (8, 3):
+        mesh = make_mesh(nd)
+        dp = Classifier.load(
+            str(tmp_path), targets, prof, K, plan=plan, mesh=mesh, mesh_mode="dp"
+        )
+        assert rows1 == oracle.rows(dp.classify_bytes(fa)[0]), f"ndev={nd}"
+    # extended mode through dp
+    ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
+    dp = Classifier.load(
+        str(tmp_path), targets, prof, K, plan=plan, mesh=make_mesh(4), mesh_mode="dp"
+    )
+    assert ext1 == oracle.rows(dp.classify_bytes(fa, extended=True)[0])

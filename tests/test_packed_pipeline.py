@@ -71,11 +71,13 @@ def test_packed_mesh_equals_single(setup):
     single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
     rows1 = oracle.rows(single.classify_bytes(fa)[0])
     for nd in (8, 3):
-        mesh = make_mesh(nd)
-        sharded = Classifier.load(
-            str(tmp_path), targets, prof, K, plan=plan, mesh=mesh
-        )
-        assert rows1 == oracle.rows(sharded.classify_bytes(fa)[0]), f"ndev={nd}"
+        for mode in ("dp", "db"):
+            mesh = make_mesh(nd)
+            sharded = Classifier.load(
+                str(tmp_path), targets, prof, K, plan=plan, mesh=mesh,
+                mesh_mode=mode,
+            )
+            assert rows1 == oracle.rows(sharded.classify_bytes(fa)[0]), (nd, mode)
 
 
 def test_native_host_path_equals_python(setup):
