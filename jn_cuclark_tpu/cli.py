@@ -132,7 +132,20 @@ def cmd_classify(args):
         # (CuCLARK_hh.hh:384-429)
         pairs = []
         if paired:
-            pairs.append((paired[0], paired[1], results))
+            with open(paired[0], "rb") as f:
+                first = f.read(1)
+            if first == b"@":
+                pairs.append((paired[0], paired[1], results))
+            else:
+                # list-of-pairs mode (CuCLARK_hh.hh:483-502): R1 list, R2
+                # list, results list, line-aligned
+                with open(paired[0]) as f1, open(paired[1]) as f2, open(
+                    results
+                ) as fr:
+                    for l1, l2, lr in zip(f1, f2, fr):
+                        l1, l2, lr = l1.strip(), l2.strip(), lr.strip()
+                        if l1 and l2 and lr:
+                            pairs.append((l1, l2, lr))
         else:
             with open(objects, "rb") as f:
                 first = f.read(1)
@@ -391,6 +404,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # the container's sitecustomize may force a platform; honor an explicit
+    # user override before any jax backend initializes
+    plat = os.environ.get("CLARK_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     if args.cmd == "classify" and not args.objects and not args.paired:
         print("classify: provide -O <reads> or -P <r1> <r2>", file=sys.stderr)

@@ -303,13 +303,19 @@ def run(cfg: ClusterConfig, log: ClusterLogger) -> int:
             log.error(p)
         return 1
 
-    my_host = socket.gethostname()
+    # CLARK_TPU_NODE_NAME lets tests (and containers whose hostname differs
+    # from the config) pick their [reads] entry explicitly
+    my_host = os.environ.get("CLARK_TPU_NODE_NAME") or socket.gethostname()
     multiproc = cfg.backend == "jax_distributed"
     if multiproc:
         import jax
 
+        kw = {}
+        if os.environ.get("CLARK_TPU_NUM_PROCESSES"):
+            kw["num_processes"] = int(os.environ["CLARK_TPU_NUM_PROCESSES"])
+            kw["process_id"] = int(os.environ.get("CLARK_TPU_PROCESS_ID", "0"))
         jax.distributed.initialize(
-            coordinator_address=cfg.coordinator_address,
+            coordinator_address=cfg.coordinator_address, **kw
         )
         pid = jax.process_index()
         nproc = jax.process_count()

@@ -64,6 +64,7 @@ class Classifier:
         db_cycles: int = 1,
         index_cache: str | None = None,
         mesh_mode: str = "dp",
+        prebuilt_table=None,
     ):
         self.profile = profile
         self.k = k
@@ -76,8 +77,10 @@ class Classifier:
         self.db_cycles = db_cycles
 
         if packed:
-            table = None
-            if index_cache is not None and os.path.exists(index_cache):
+            table = prebuilt_table
+            if table is None and index_cache is not None and os.path.exists(
+                index_cache
+            ):
                 table = radix_table.load_cache(index_cache)
             if table is None:
                 table = radix_table.build(
@@ -188,15 +191,17 @@ class Classifier:
                 )
         # device-index cache: valid only if newer than the DB files and the
         # load is unsampled (sampling changes the key set)
-        use_cache = sampling_factor == 1
+        use_cache = packed and sampling_factor == 1
+        table = None
         if use_cache and os.path.exists(cache):
             if os.path.getmtime(cache) < os.path.getmtime(stem + ".ky"):
-                use_cache = False
                 try:
                     os.remove(cache)
                 except OSError:
                     pass
-        if use_cache and os.path.exists(cache) and packed:
+            else:
+                table = radix_table.load_cache(cache)
+        if table is not None:
             canonical = np.zeros(0, np.uint64)
             labels = np.zeros(0, np.uint16)
         else:
@@ -214,6 +219,7 @@ class Classifier:
             db_cycles=db_cycles,
             index_cache=cache if use_cache else None,
             mesh_mode=mesh_mode,
+            prebuilt_table=table,
         )
 
     # -------------------------------------------------------------- classify

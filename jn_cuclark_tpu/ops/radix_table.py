@@ -139,16 +139,32 @@ _CACHE_VERSION = 1
 
 
 def save_cache(path: str, table: RadixTable):
-    """Persist the built table so repeat loads skip the ~1s/M-key build."""
-    np.savez(
-        path,
-        version=_CACHE_VERSION,
-        slots=table.slots,
-        labels=table.labels,
-        stash_keys=table.stash_keys,
-        stash_labels=table.stash_labels,
-        meta=np.array([table.m1, table.lb, table.slot_width]),
-    )
+    """Persist the built table so repeat loads skip the ~1s/M-key build.
+    Written atomically (tmp + rename) so concurrent processes never observe a
+    truncated file."""
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                version=_CACHE_VERSION,
+                slots=table.slots,
+                labels=table.labels,
+                stash_keys=table.stash_keys,
+                stash_labels=table.stash_labels,
+                meta=np.array([table.m1, table.lb, table.slot_width]),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_cache(path: str) -> RadixTable | None:
@@ -166,7 +182,7 @@ def load_cache(path: str) -> RadixTable | None:
             lb=lb,
             slot_width=c,
         )
-    except (OSError, KeyError, ValueError):
+    except Exception:  # corrupt/partial cache -> rebuild from the DB files
         return None
 
 

@@ -1,0 +1,142 @@
+"""Two-process jax.distributed cluster run on local CPU: exercises the DCN
+allgather result merge and coordinator report (the kent-mpi multi-node path,
+without SSH/MPI)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from .test_builder import rand_seq, write_fasta
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cluster(tmp_path):
+    rng = np.random.default_rng(31)
+    # tiny database directory with config.json
+    dbdir = tmp_path / "db"
+    (dbdir / "sub").mkdir(parents=True)
+    genomes = [rand_seq(rng, 400) for _ in range(2)]
+    with open(dbdir / "targets.txt", "w") as tf:
+        for i, g in enumerate(genomes):
+            p = dbdir / f"g{i}.fa"
+            write_fasta(p, [(f"g{i}", g)])
+            tf.write(f"{p} {700 + i}\n")
+    # minimal taxonomy so per-node abundance estimation works
+    tax = dbdir / "taxonomy"
+    tax.mkdir()
+    with open(tax / "nodes.dmp", "w") as f:
+        f.write("1\t|\t1\t|\tno rank\t|\tX\t|\n")
+        f.write("700\t|\t1\t|\tspecies\t|\tX\t|\n")
+        f.write("701\t|\t1\t|\tspecies\t|\tX\t|\n")
+    with open(tax / "names.dmp", "w") as f:
+        f.write("700\t|\tSpecies A\t|\t\t|\tscientific name\t|\n")
+        f.write("701\t|\tSpecies B\t|\t\t|\tscientific name\t|\n")
+
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.database import DBConfig
+    from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    prof = params.tiny(htsize=2039, k=9)
+    targets = parse_targets(str(dbdir / "targets.txt"))
+    builder.build_database(targets, str(dbdir / "sub"), prof, 9)
+    cfg = DBConfig(
+        db_dir=str(dbdir),
+        targets=str(dbdir / "targets.txt"),
+        subdb=str(dbdir / "sub"),
+        rank=0,
+        profile_name=prof.name,
+        k=9,
+        gap=prof.default_gap,
+        min_count_target=0,
+        htsize=prof.htsize,
+        light=prof.light,
+    )
+    cfg.save()
+
+    # per-node reads
+    for node in ("nodeA", "nodeB"):
+        with open(tmp_path / f"{node}.fa", "w") as f:
+            for i in range(20):
+                g = genomes[i % 2]
+                pos = rng.integers(0, len(g) - 60)
+                f.write(f">{node}_{i}\n{g[pos:pos+60]}\n")
+
+    port = free_port()
+    conf = tmp_path / "cluster.conf"
+    conf.write_text(
+        f"""[cluster]
+master = nodeA
+workers = nodeB
+backend = jax_distributed
+coordinator_address = 127.0.0.1:{port}
+
+[paths]
+cuclark_dir = {tmp_path}
+database = {dbdir}
+results_dir = results
+
+[reads]
+nodeA = {tmp_path}/nodeA.fa
+nodeB = {tmp_path}/nodeB.fa
+
+[logging]
+level = info
+file = cluster_run.log
+"""
+    )
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CLARK_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    env["CLARK_TPU_NUM_PROCESSES"] = "2"
+    env.pop("XLA_FLAGS", None)
+
+    procs = []
+    for pid, node in enumerate(("nodeA", "nodeB")):
+        e = dict(env)
+        e["CLARK_TPU_PROCESS_ID"] = str(pid)
+        e["CLARK_TPU_NODE_NAME"] = node
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "jn_cuclark_tpu.cli", "cluster", "-c", str(conf)],
+                env=e,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            pytest.fail(f"cluster process hung:\n{err.decode()[-2000:]}")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()[-2000:]
+
+    report = (tmp_path / "results" / "cluster_report.txt").read_text()
+    assert "Nodes processed: 2/2" in report
+    assert "nodeA" in report and "nodeB" in report
+    assert (tmp_path / "results" / "cluster_abundance.csv").exists()
+    # both per-node result CSVs exist with 20 rows each
+    for node in ("nodeA", "nodeB"):
+        csv = (tmp_path / "results" / f"{node}_{node}.csv").read_text().splitlines()
+        assert len(csv) == 21
