@@ -1,12 +1,16 @@
 """Fixed-slot hash table for TPU k-mer lookup — the hot-path index.
 
-Motivation (measured on TPU v5e): XLA gathers cost ~15 ns/element regardless
-of table size, so a binary search pays ~log2(N) gathers per query while
-W-wide ROW gathers amortize to ~1.5-3x one scalar gather.  This table
-answers a query with ONE row gather:
+Motivation (measured on TPU v5e): XLA gathers pay a large per-ROW cost that
+shrinks as the number of distinct rows falls (at constant total bytes,
+gathering 1KB rows from a 2^17-row table is ~2x faster than 128B rows from a
+2^20-row table, and ~5x faster than a 16-slot layout), while the VPU eats
+the extra in-row compares for free until ~2KB rows.  A binary search
+(log2(N) scalar gathers) is ~30x slower.  This table answers a query with
+ONE wide row gather:
 
   * single level: [n1, C] uint64 slots, bucket = top m1 bits of an odd-
-    multiplier Fibonacci mix of the canonical value (load ~C/3, C=16)
+    multiplier Fibonacci mix of the canonical value (C=128 slots/bucket at
+    load ~56 — ~20B/key, measured optimum on v5e)
   * label packing: canonical values use 2k bits < 64, so when
     2k + ceil(log2(T+2)) <= 64 the label is stored in the slot's low bits
     and the whole lookup is one gather (always true for the light profile's
@@ -93,16 +97,23 @@ def build(
     keys: np.ndarray,
     labels1: np.ndarray,
     k: int | None = None,
-    c: int = 16,
-    load: float = 4.5,
+    c: int | None = None,
+    load: float | None = None,
 ) -> RadixTable:
     """Build from unique uint64 canonical keys and int32 labels(+1).
 
     k enables label packing (single-gather probe); None disables it.
+    c/load default by DB size: wide 128-slot buckets (~20B/key, the measured
+    v5e optimum) for real DBs, narrow 16-slot buckets for tiny ones (cheaper
+    on CPU and for toy tables).
     """
     keys = np.asarray(keys, dtype=np.uint64)
     labels1 = np.asarray(labels1, dtype=np.int32)
     n = max(len(keys), 1)
+    if c is None:
+        c = 128 if n >= 500_000 else 16
+    if load is None:
+        load = c * 0.44  # ~2.3 slots per key
     maxlab = int(labels1.max()) if len(labels1) else 1
     lb = 0
     if k is not None:
