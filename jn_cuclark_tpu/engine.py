@@ -45,6 +45,8 @@ class BatchPlan:
     max_queries: int = 1 << 20  # flat path: query slots per batch
     max_reads: int = 1 << 14  # reads per batch
     window_budget: int = 1 << 22  # packed path: R*stride char slots per batch
+    # NOTE: 2^23/2^15 was tried and regressed ~25% on v5e (larger [R,S]
+    # intermediates outweigh the per-call overhead saved)
 
 
 class Classifier:

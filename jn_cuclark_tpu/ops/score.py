@@ -16,7 +16,11 @@ import jax.numpy as jnp
 
 def counts_from_hits(labels1: jnp.ndarray, read_id: jnp.ndarray, n_reads: int, n_targets: int):
     """Dense per-read count matrix [n_reads, n_targets+1] from per-query
-    (label+1) values (0 = miss, accumulated in ignored column 0)."""
+    (label+1) values (0 = miss, accumulated in ignored column 0).
+
+    (A chunked broadcast compare-reduce was tried for small target counts and
+    lost to segment_sum on v5e — XLA materializes the [Q, T] compare.)
+    """
     ids = read_id * (n_targets + 1) + labels1
     flat = jax.ops.segment_sum(
         jnp.ones_like(ids, dtype=jnp.int32),
