@@ -18,14 +18,22 @@ def counts_from_hits(labels1: jnp.ndarray, read_id: jnp.ndarray, n_reads: int, n
     """Dense per-read count matrix [n_reads, n_targets+1] from per-query
     (label+1) values (0 = miss, accumulated in ignored column 0).
 
-    (A chunked broadcast compare-reduce was tried for small target counts and
-    lost to segment_sum on v5e — XLA materializes the [Q, T] compare.)
+    Strategy by size (measured on v5e): when the bin count is small, sorting
+    the combined (read, label) ids and diffing bin boundaries beats the
+    scatter-based segment_sum (~20%); TPU sorts are fast, scatters pay
+    ~19ns/element.  (A chunked broadcast compare-reduce was also tried and
+    lost — XLA materializes the [Q, T] compare.)
     """
+    n_bins = n_reads * (n_targets + 1)
     ids = read_id * (n_targets + 1) + labels1
+    if n_bins <= (1 << 20):
+        s = jax.lax.sort(ids)
+        pos = jnp.searchsorted(s, jnp.arange(n_bins + 1, dtype=ids.dtype))
+        return (pos[1:] - pos[:-1]).reshape(n_reads, n_targets + 1)
     flat = jax.ops.segment_sum(
         jnp.ones_like(ids, dtype=jnp.int32),
         ids,
-        num_segments=n_reads * (n_targets + 1),
+        num_segments=n_bins,
     )
     return flat.reshape(n_reads, n_targets + 1)
 
