@@ -114,6 +114,8 @@ def _maybe_gunzip(path: str, tmpdir: str) -> str:
 def cmd_classify(args):
     import tempfile
 
+    if getattr(args, "threads", None):
+        os.environ["OMP_NUM_THREADS"] = str(args.threads)
     clf = _load_classifier(args)
 
     objects = args.objects
@@ -317,6 +319,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="clark-tpu",
         description="TPU-native CLARK metagenomic classifier",
     )
+    from . import __version__
+
+    p.add_argument("--version", action="version", version=f"clark-tpu {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_profile_flags(sp, build=False):
@@ -357,6 +362,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("-R", "--results", required=True, help="results path (.csv appended)")
     add_profile_flags(pc)
     pc.add_argument("-s", "--sampling-factor", type=int, default=1)
+    pc.add_argument("-n", "--threads", type=int, default=None,
+                    help="host threads for the native packer (default: all)")
+    pc.add_argument("-b", "--batches", type=int, default=None,
+                    help="accepted for cuCLARK compatibility; batching is automatic")
     pc.add_argument("--extended", action="store_true", help="per-target score columns")
     pc.add_argument("--gzipped", action="store_true", help="inputs are gzipped")
     pc.add_argument("-d", "--devices", type=int, default=None, help="devices to shard the DB over")

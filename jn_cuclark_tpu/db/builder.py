@@ -167,10 +167,12 @@ def aggregate(
     l = occ_label[order]
     v = occ_count[order]
 
-    grp_start = np.concatenate([[True], c[1:] != c[:-1]])
-    gid = np.cumsum(grp_start) - 1
-    ngroups = int(gid[-1]) + 1 if n else 0
+    grp_start = np.empty(n, dtype=bool)
+    if n:
+        grp_start[0] = True
+        np.not_equal(c[1:], c[:-1], out=grp_start[1:])
     first_idx = np.nonzero(grp_start)[0]
+    ngroups = len(first_idx)
     L0 = l[first_idx]
 
     # prefix-group id per combined label index
@@ -181,21 +183,23 @@ def aggregate(
         key = (len(lbl), lbl[:-1])
         pg[i] = pgid_map.setdefault(key, len(pgid_map))
 
-    L0_of = L0[gid]
-    nonfirst = ~grp_start
-    d = (l != L0_of).astype(np.int64) + (pg[l] != pg[L0_of]).astype(np.int64)
-    d = np.where(nonfirst, d, 0)
-    mult = 1 + np.bincount(gid, weights=d, minlength=ngroups).astype(np.int64)
+    # gid values are sorted (groups are contiguous runs), so group reductions
+    # are reduceat over run starts — much cheaper than weighted bincounts
+    L0_of = np.repeat(L0, np.diff(np.append(first_idx, n)))
+    d = (l != L0_of).astype(np.int32) + (pg[l] != pg[L0_of]).astype(np.int32)
+    d[first_idx] = 0
+    mult = 1 + (np.add.reduceat(d, first_idx) if n else np.zeros(0, np.int32))
     mult = np.minimum(mult, 255)
 
+    gsize = np.diff(np.append(first_idx, n))
     if lelement:
         if np.all(v == 1):
-            gsize = np.bincount(gid, minlength=ngroups)
             count = np.minimum(gsize, 254)
         else:
+            gid = np.repeat(np.arange(ngroups), gsize)
             count = _saturating_group_sum(gid, v, ngroups)
     else:
-        count = np.bincount(gid, weights=v, minlength=ngroups).astype(np.int64)
+        count = np.add.reduceat(v, first_idx) if n else np.zeros(0, np.int64)
 
     return c[first_idx], L0, mult, count, order[first_idx]
 
@@ -264,31 +268,56 @@ def build_database(
     `folder` is the database directory (the reference's -D).
     """
     gap = profile.default_gap if gap is None else gap
+    from ..utils import native
+
+    use_native = native.available()
     lidx = targets.label_index
     occ_c: list[np.ndarray] = []
     occ_l: list[np.ndarray] = []
     occ_v: list[np.ndarray] = []
+    all_unit_counts = True
     for path, lbl in zip(targets.files, targets.file_labels):
         with open(path, "rb") as f:
             data = f.read()
         if data[:1] in (b">", b"@"):
-            occ = extract_occurrences(data, k, profile.light, gap)
+            if use_native:
+                occ = Occurrences(
+                    canonical=native.extract_canonical(data, k, profile.light, gap)
+                )
+            else:
+                occ = extract_occurrences(data, k, profile.light, gap)
         else:
             occ = extract_spectrum(data, k, profile.light, gap, min_count_target)
         occ_c.append(occ.canonical)
         occ_l.append(np.full(len(occ.canonical), lidx[lbl], dtype=np.int64))
-        if occ.counts is None:
-            occ_v.append(np.ones(len(occ.canonical), dtype=np.int64))
-        else:
-            occ_v.append(occ.counts)
+        occ_v.append(occ.counts)  # None => unit counts
+        all_unit_counts = all_unit_counts and occ.counts is None
     canon_all = np.concatenate(occ_c) if occ_c else np.zeros(0, np.uint64)
     lbl_all = np.concatenate(occ_l) if occ_l else np.zeros(0, np.int64)
-    cnt_all = np.concatenate(occ_v) if occ_v else np.zeros(0, np.int64)
 
+    # the reference's light build never writes .ht files regardless of --tsk
+    # (makeSpecificTargetSets light branch has no Save* calls)
+    tsk = tsk and not profile.light
     lelement = not tsk  # --tsk builds use the 32-bit Element counter
-    canon, L0, mult, count, first_seq = aggregate(
-        canon_all, lbl_all, cnt_all, targets, min_count_target, lelement
-    )
+    if use_native and all_unit_counts and not tsk:
+        all_labels = targets.labels + targets.labels_c
+        pgid_map: dict[tuple[int, str], int] = {}
+        pg = np.zeros(max(len(all_labels), 1), dtype=np.int32)
+        for i, lbl in enumerate(all_labels):
+            pg[i] = pgid_map.setdefault((len(lbl), lbl[:-1]), len(pgid_map))
+        canon, L0, mult, count, first_seq = native.aggregate_occurrences(
+            canon_all, lbl_all, pg, lelement
+        )
+    else:
+        cnt_all = np.concatenate(
+            [
+                v if v is not None else np.ones(len(c), dtype=np.int64)
+                for v, c in zip(occ_v, occ_c)
+            ]
+        ) if occ_v else np.zeros(0, np.int64)
+        canon, L0, mult, count, first_seq = aggregate(
+            canon_all, lbl_all, cnt_all, targets, min_count_target, lelement
+        )
 
     if tsk:
         _write_tsk_files(

@@ -46,20 +46,45 @@ def write_db(
     remainder = (canonical % htsize).astype(np.int64)
     quotient = canonical // htsize
 
-    order = np.lexsort((quotient, remainder))
+    # single-key radix argsort on (remainder, quotient) packed into u64:
+    # bits(remainder) + bits(quotient) <= 2k + 1 <= 63 for k <= 31
+    rem_bits = max(int(profile.htsize - 1).bit_length(), 1)
+    if 2 * k + 1 <= 64:
+        composite = (
+            remainder.astype(np.uint64) << np.uint64(64 - rem_bits)
+        ) | quotient
+        from ..utils import native
+
+        if native.available():
+            order = native.argsort_u64(composite)  # parallel stable sort
+        else:
+            order = np.argsort(composite, kind="stable")
+    else:  # k == 32: quotient may not fit the packed key
+        order = np.lexsort((quotient, remainder))
     remainder = remainder[order]
     quotient = quotient[order]
     labels = labels[order]
 
-    sizes = np.bincount(remainder, minlength=profile.htsize)
-    if sizes.max(initial=0) > 255:
-        raise DBFormatError(
-            "bucket list size exceeds 255; use a larger hash-table size"
-        )
+    # sparse bucket sizes: remainder is sorted, so run-length encode rather
+    # than bincount over HTSIZE (1.6e9 buckets for the full profile)
+    sizes = np.zeros(profile.htsize, dtype=np.uint8)
+    if len(remainder):
+        runs_mask = np.empty(len(remainder), dtype=bool)
+        runs_mask[0] = True
+        np.not_equal(remainder[1:], remainder[:-1], out=runs_mask[1:])
+        runs = np.nonzero(runs_mask)[0]
+        counts = np.empty(len(runs), dtype=np.int64)
+        counts[:-1] = runs[1:] - runs[:-1]
+        counts[-1] = len(remainder) - runs[-1]
+        if counts.max(initial=0) > 255:
+            raise DBFormatError(
+                "bucket list size exceeds 255; use a larger hash-table size"
+            )
+        sizes[remainder[runs]] = counts.astype(np.uint8)
 
     key_dtype = profile.key_dtype(k)
     with open(stem + ".sz", "wb") as f:
-        sizes.astype(np.uint8).tofile(f)
+        sizes.tofile(f)
     with open(stem + ".ky", "wb") as f:
         quotient.astype(key_dtype).tofile(f)
     with open(stem + ".lb", "wb") as f:

@@ -167,3 +167,68 @@ def format_rows(
     if w < 0:
         raise RuntimeError("format_rows buffer overflow")
     return out.raw[:w]
+
+
+# ------------------------------------------------------------- DB build ops
+def _ensure_build_sigs(lib):
+    if getattr(lib, "_build_sigs", False):
+        return
+    lib.extract_canonical.restype = ctypes.c_int64
+    lib.extract_canonical.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, _U64P,
+    ]
+    lib.argsort_u64.restype = None
+    lib.argsort_u64.argtypes = [_U64P, ctypes.c_int64, _I64P]
+    lib.aggregate_occurrences.restype = ctypes.c_int64
+    lib.aggregate_occurrences.argtypes = [
+        _U64P, _I32P, ctypes.c_int64, _I32P, ctypes.c_int32,
+        _U64P, _I32P, _I32P, _I64P, _I64P, _I64P,
+    ]
+    lib._build_sigs = True
+
+
+def extract_canonical(data: bytes, k: int, light: bool, gap: int) -> np.ndarray:
+    """Rolling canonical k-mer extraction (native)."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    arr, dp = _u8(data)
+    n = len(arr)
+    out = np.empty(max(n, 1), dtype=np.uint64)
+    w = lib.extract_canonical(dp, n, k, 1 if light else 0, max(gap, 1),
+                              _p(out, _U64P))
+    if w < 0:
+        raise ValueError("failed to recognize the format of the file")
+    return out[:w]  # view; keeps the base buffer alive
+
+
+def argsort_u64(keys: np.ndarray) -> np.ndarray:
+    lib = _load()
+    _ensure_build_sigs(lib)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    idx = np.empty(len(keys), np.int64)
+    lib.argsort_u64(_p(keys, _U64P), len(keys), _p(idx, _I64P))
+    return idx
+
+
+def aggregate_occurrences(canon, label, pg, lelement: bool):
+    """(canon_u, L0, mult, count, first_seq) for unit-count occurrences."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    canon = np.ascontiguousarray(canon, np.uint64)
+    label = np.ascontiguousarray(label, np.int32)
+    pg = np.ascontiguousarray(pg, np.int32)
+    n = len(canon)
+    oc = np.empty(max(n, 1), np.uint64)
+    ol = np.empty(max(n, 1), np.int32)
+    om = np.empty(max(n, 1), np.int32)
+    on = np.empty(max(n, 1), np.int64)
+    of = np.empty(max(n, 1), np.int64)
+    scratch = np.empty(max(n, 1), np.int64)
+    ng = lib.aggregate_occurrences(
+        _p(canon, _U64P), _p(label, _I32P), n, _p(pg, _I32P),
+        1 if lelement else 0,
+        _p(oc, _U64P), _p(ol, _I32P), _p(om, _I32P), _p(on, _I64P),
+        _p(of, _I64P), _p(scratch, _I64P),
+    )
+    return oc[:ng], ol[:ng], om[:ng], on[:ng], of[:ng]  # views

@@ -221,3 +221,172 @@ int64_t format_rows_extended(const uint8_t* data,
 }
 
 }  // extern "C"
+
+// ----------------------------------------------------------- DB construction
+//
+// Native equivalents of the reference's build hot path (the streaming k-mer
+// scan of makeSpecificTargetSets, CuCLARK_hh.hh:691-1329, and the chained
+// hash-table aggregation) recast as extract -> parallel sort -> linear scan.
+
+#include <algorithm>
+#include <vector>
+#if defined(_OPENMP)
+#include <parallel/algorithm>
+#define PSORT __gnu_parallel::stable_sort
+#else
+#define PSORT std::stable_sort
+#endif
+
+extern "C" {
+
+// Rolling canonical k-mer extraction from a FASTA/FASTQ byte buffer.
+//   fwd' = (fwd >> 2) | code << 2(k-1)        (enc_le append)
+//   rc'  = ((rc << 2) | (3 - code)) & mask    (enc_le of revcomp)
+//   canonical = min(fwd, rc)
+// light mode: non-overlapping k-mers, per-file counter picks every gap-th.
+// Returns the number of canonical values written, or -1 on bad format.
+int64_t extract_canonical(const uint8_t* d, int64_t n, int32_t k,
+                          int32_t light, int64_t gap, uint64_t* out) {
+  code_init();
+  if (n == 0) return 0;
+  const int fasta = d[0] == '>';
+  const int fastq = d[0] == '@';
+  if (!fasta && !fastq) return -1;
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  const int shift_hi = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int32_t cpt = 0;
+  int64_t iter = 0;
+  int64_t w = 0;
+  int64_t i = 0;
+  int line = 0;  // fastq line index within record
+  while (i < n) {
+    uint8_t ch = d[i];
+    if (fasta && ch == '>') {
+      while (i < n && d[i] != '\n') ++i;
+      ++i;
+      fwd = rc = 0;
+      cpt = 0;
+      continue;
+    }
+    if (ch == '\n') {
+      ++i;
+      if (fastq) {
+        line = (line + 1) & 3;
+        if (line != 1) {  // only line 1 of each record is sequence
+          fwd = rc = 0;
+          cpt = 0;
+          // skip to next newline fast for non-seq lines
+          if (line == 0 || line == 2 || line == 3) continue;
+        }
+      }
+      continue;
+    }
+    if (fastq && line != 1) { ++i; continue; }
+    int8_t code = CODE[ch];
+    if (code < 0) {
+      fwd = rc = 0;
+      cpt = 0;
+      ++i;
+      continue;
+    }
+    if (light) {
+      rc = ((rc << 2) | (uint64_t)(3 - code)) & mask;
+      fwd = (fwd >> 2) | ((uint64_t)code << shift_hi);
+      if (++cpt == k) {
+        if (iter % gap == 0) out[w++] = fwd < rc ? fwd : rc;
+        ++iter;
+        fwd = rc = 0;
+        cpt = 0;
+      }
+    } else {
+      rc = ((rc << 2) | (uint64_t)(3 - code)) & mask;
+      fwd = (fwd >> 2) | ((uint64_t)code << shift_hi);
+      if (cpt < k - 1) {
+        ++cpt;
+      } else {
+        out[w++] = fwd < rc ? fwd : rc;
+      }
+    }
+    ++i;
+  }
+  return w;
+}
+
+// Parallel stable argsort of uint64 keys.  Sorts (key, index) PAIRS so
+// comparisons are cache-local (indirect index sorts are ~3x slower).
+struct KV {
+  uint64_t k;
+  int64_t v;
+};
+
+void argsort_u64(const uint64_t* keys, int64_t n, int64_t* idx) {
+  std::vector<KV> kv(n);
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t i = 0; i < n; i++) kv[i] = {keys[i], i};
+  PSORT(kv.begin(), kv.end(),
+        [](const KV& a, const KV& b) { return a.k < b.k; });
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t i = 0; i < n; i++) idx[i] = kv[i].v;
+}
+
+// Aggregate pre-extracted occurrences (canon, label) in stream order into
+// distinct k-mers with the reference's multiplicity/count rules (counts all
+// 1, i.e. sequence inputs).  pg[label] = prefix-group id.
+// Outputs sized n (caller trims to return value).
+int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
+                              int64_t n, const int32_t* pg, int32_t lelement,
+                              uint64_t* out_canon, int32_t* out_label,
+                              int32_t* out_mult, int64_t* out_count,
+                              int64_t* out_first_seq, int64_t* scratch_idx) {
+  // stable sort by canonical keeps stream order within groups; sorting
+  // (key, index) pairs directly for cache locality
+  {
+    std::vector<KV> kv(n);
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+    for (int64_t i = 0; i < n; i++) kv[i] = {canon[i], i};
+    PSORT(kv.begin(), kv.end(),
+          [](const KV& a, const KV& b) { return a.k < b.k; });
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+    for (int64_t i = 0; i < n; i++) scratch_idx[i] = kv[i].v;
+  }
+  int64_t ng = -1;
+  uint64_t cur = 0;
+  int32_t l0 = 0, pg0 = 0;
+  for (int64_t t = 0; t < n; t++) {
+    int64_t i = scratch_idx[t];
+    uint64_t c = canon[i];
+    int32_t l = label[i];
+    if (ng < 0 || c != cur) {
+      ++ng;
+      cur = c;
+      l0 = l;
+      pg0 = pg[l];
+      out_canon[ng] = c;
+      out_label[ng] = l;
+      out_mult[ng] = 1;
+      out_count[ng] = 1;
+      out_first_seq[ng] = i;
+    } else {
+      int32_t d = (l != l0) + (pg[l] != pg0);
+      int32_t m = out_mult[ng] + d;
+      out_mult[ng] = m > 255 ? 255 : m;
+      if (lelement) {
+        if (out_count[ng] < 254) out_count[ng]++;
+      } else {
+        out_count[ng]++;
+      }
+    }
+  }
+  return ng + 1;
+}
+
+}  // extern "C"
