@@ -6,9 +6,10 @@ getObjectsDataComputeFullGPU + printExtendedResultsSynced:1946-2122):
   host (numpy): mmap + vectorized read scan, 2-bit/validity packing into
                 fixed-stride [R, S] rows (ops/pack.py);
   device (jit): window extraction + canonicalization (VPU, no gathers) +
-                radix-table probe (2 row gathers) + per-read count/top-2
-                reductions (ops/device_pipeline.py), optionally sharded over
-                a `Mesh` axis with psum merging;
+                radix-table probe (one wide row gather) + per-read count/
+                top-2 reductions (ops/device_pipeline.py), optionally sharded
+                over a `Mesh` axis (reads for throughput, DB rows + psum for
+                capacity);
   host:         Gamma/Confidence in doubles and C-printf `%g` CSV formatting,
                 byte-identical to the reference
                 (Gamma = sum / (len - k + 1), Confidence = best/(best+s_best),
