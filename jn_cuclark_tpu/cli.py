@@ -69,6 +69,7 @@ def cmd_db_build(args):
         gap=args.gap,
         min_count_target=args.min_freq_target,
         tsk=args.tsk,
+        device=getattr(args, "device", False),
     )
     print(
         f"Database built: {len(db.canonical)} discriminative k-mers "
@@ -354,6 +355,8 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("db", help="database directory")
     add_profile_flags(pb, build=True)
     pb.add_argument("--tsk", action="store_true", help="write per-target .ht files")
+    pb.add_argument("--device", action="store_true",
+                    help="aggregate k-mers on the TPU (sort + segment reductions)")
     pb.set_defaults(fn=cmd_db_build)
 
     pc = sub.add_parser("classify", help="classify reads against a database")

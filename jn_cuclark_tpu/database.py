@@ -190,6 +190,7 @@ def build(
     gap: int | None = None,
     min_count_target: int | None = None,
     tsk: bool = False,
+    device: bool = False,
 ):
     """Build (or rebuild) the discriminative k-mer DB for a configured
     database directory."""
@@ -199,7 +200,8 @@ def build(
     minT = min_count_target if min_count_target is not None else cfg.min_count_target
     targets = parse_targets(cfg.targets)
     db = builder.build_database(
-        targets, cfg.subdb, profile, k, min_count_target=minT, gap=gap, tsk=tsk
+        targets, cfg.subdb, profile, k, min_count_target=minT, gap=gap,
+        tsk=tsk, device=device,
     )
     cfg.profile_name = profile.name
     cfg.htsize = profile.htsize

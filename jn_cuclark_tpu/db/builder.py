@@ -262,6 +262,7 @@ def build_database(
     min_count_target: int = 0,
     gap: int | None = None,
     tsk: bool = False,
+    device: bool = False,
 ) -> BuiltDB:
     """Build and serialize the central DB (and optional per-target .ht files).
 
@@ -299,15 +300,22 @@ def build_database(
     # (makeSpecificTargetSets light branch has no Save* calls)
     tsk = tsk and not profile.light
     lelement = not tsk  # --tsk builds use the 32-bit Element counter
-    if use_native and all_unit_counts and not tsk:
+    if (use_native or device) and all_unit_counts and not tsk:
         all_labels = targets.labels + targets.labels_c
         pgid_map: dict[tuple[int, str], int] = {}
         pg = np.zeros(max(len(all_labels), 1), dtype=np.int32)
         for i, lbl in enumerate(all_labels):
             pg[i] = pgid_map.setdefault((len(lbl), lbl[:-1]), len(pgid_map))
-        canon, L0, mult, count, first_seq = native.aggregate_occurrences(
-            canon_all, lbl_all, pg, lelement
-        )
+        if device:
+            from .device_build import aggregate_device
+
+            canon, L0, mult, count, first_seq = aggregate_device(
+                canon_all, lbl_all, pg, lelement
+            )
+        else:
+            canon, L0, mult, count, first_seq = native.aggregate_occurrences(
+                canon_all, lbl_all, pg, lelement
+            )
     else:
         cnt_all = np.concatenate(
             [

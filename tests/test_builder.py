@@ -174,3 +174,27 @@ def test_centromere_labels(tmp_path):
     for v in only1:
         if v in got:
             assert got[v] == 0
+
+
+def test_device_aggregation_matches_host(toy):
+    """TPU/device sort+segment aggregation == host aggregation."""
+    folder, tpath, genomes = toy
+    k = 9
+    prof = params.tiny(htsize=1021, k=k)
+    import shutil, os
+    d1 = str(folder / "host")
+    d2 = str(folder / "dev")
+    os.makedirs(d1, exist_ok=True)
+    os.makedirs(d2, exist_ok=True)
+    targets = parse_targets(str(tpath))
+    db1 = builder.build_database(targets, d1, prof, k, device=False)
+    db2 = builder.build_database(targets, d2, prof, k, device=True)
+    assert np.array_equal(db1.canonical, db2.canonical)
+    assert np.array_equal(db1.labels, db2.labels)
+    assert db1.n_mother == db2.n_mother
+    stem = prof.db_stem(k, targets.n_targets, 0, prof.default_gap)
+    for ext in (".sz", ".ky", ".lb"):
+        with open(os.path.join(d1, stem + ext), "rb") as a, open(
+            os.path.join(d2, stem + ext), "rb"
+        ) as b:
+            assert a.read() == b.read(), ext
