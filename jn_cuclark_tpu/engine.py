@@ -271,17 +271,17 @@ class Classifier:
             data = merge_paired(data, data2)
 
         t0 = time.time()
-        rs = parse_reads(data)
+        gen, n_reads = self.classify_bytes(data, paired=paired, extended=extended)
         out = result_path + ".csv"
         with open(out, "wb") as f:
             f.write(self._header(extended))
-            for line in self._classify_readset(rs, paired=paired, extended=extended):
-                f.write(line)
+            for chunk in gen:
+                f.write(chunk)
         dt = time.time() - t0
         stats = {
-            "reads": rs.n_reads,
+            "reads": n_reads,
             "seconds": dt,
-            "reads_per_min": int(rs.n_reads / dt * 60.0) if dt > 0 else 0,
+            "reads_per_min": int(n_reads / dt * 60.0) if dt > 0 else 0,
             "result": out,
         }
         if verbose:

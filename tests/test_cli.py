@@ -208,3 +208,36 @@ file = cluster_run.log
     assert (tmp_path / "results" / "cluster_abundance.csv").exists()
     log = (tmp_path / "logs" / "cluster_run.log").read_text()
     assert "[INFO]" in log
+
+
+def test_multi_sample_batch_and_merge(dbdir, tmp_path):
+    """BASELINE config 4: classify 8 FASTQ runs on one host, estimate
+    abundance per run, merge (kent -m), report."""
+    root, db, reads, taxids, genomes = dbdir
+    rng = np.random.default_rng(99)
+    csvs = []
+    for s in range(8):
+        fq = tmp_path / f"run{s}.fq"
+        with open(fq, "w") as f:
+            for i in range(30):
+                tid = taxids[(i + s) % 3]
+                g = genomes[tid]
+                pos = rng.integers(0, len(g) - 80)
+                f.write(f"@run{s}_r{i}\n{g[pos:pos+80]}\n+\n{'I'*80}\n")
+        res = tmp_path / f"run{s}"
+        assert run_cli("classify", "-D", str(db), "-O", str(fq), "-R", str(res)) == 0
+        ab = tmp_path / f"run{s}_ab.csv"
+        assert run_cli(
+            "abundance", "-D", str(db), "-F", str(res) + ".csv", "-o", str(ab)
+        ) == 0
+        csvs.append(str(ab))
+    merged = tmp_path / "all.csv"
+    assert run_cli("merge", *csvs, "-o", str(merged)) == 0
+    text = open(merged).read().splitlines()
+    # 8 x 30 = 240 reads total across the three species + UNKNOWN row
+    import re
+    counts = [int(l.split(",")[3]) for l in text[1:] if not l.startswith("UNKNOWN")]
+    assert sum(counts) >= 230  # nearly all classified
+    rep = tmp_path / "rep.txt"
+    assert run_cli("report", str(merged), "-o", str(rep)) == 0
+    assert "among classified" in open(rep).read()
