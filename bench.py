@@ -23,6 +23,7 @@ import numpy as np
 def make_workload(tmpdir, n_reads=20000, read_len=150, genome_len=None, seed=0):
     from jn_cuclark_tpu import params
     from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.io import dbformat
     from jn_cuclark_tpu.io.targets import parse_targets
 
     rng = np.random.default_rng(seed)
@@ -37,13 +38,18 @@ def make_workload(tmpdir, n_reads=20000, read_len=150, genome_len=None, seed=0):
             seq = "".join(rng.choice(list("ACGT"), size=genome_len))
             genomes.append(seq)
             p = os.path.join(tmpdir, f"g{i}.fa")
-            with open(p, "w") as f:
-                f.write(f">g{i}\n")
-                for j in range(0, len(seq), 70):
-                    f.write(seq[j : j + 70] + "\n")
+            if not os.path.exists(p):
+                with open(p, "w") as f:
+                    f.write(f">g{i}\n")
+                    for j in range(0, len(seq), 70):
+                        f.write(seq[j : j + 70] + "\n")
             tf.write(f"{p} {1000 + i}\n")
     targets = parse_targets(os.path.join(tmpdir, "targets.txt"))
-    builder.build_database(targets, tmpdir, prof, k)
+    stem = os.path.join(
+        tmpdir, prof.db_stem(k, targets.n_targets, 0, prof.default_gap)
+    )
+    if not dbformat.db_exists(stem):
+        builder.build_database(targets, tmpdir, prof, k)
 
     reads = []
     for i in range(n_reads):
@@ -55,28 +61,36 @@ def make_workload(tmpdir, n_reads=20000, read_len=150, genome_len=None, seed=0):
 
 
 def main():
-    import tempfile
-
     import jn_cuclark_tpu  # noqa: F401
     from jn_cuclark_tpu.engine import BatchPlan, Classifier
 
     n_reads = int(os.environ.get("BENCH_READS", "100000"))
-    with tempfile.TemporaryDirectory() as td:
-        prof, k, targets, fa = make_workload(td, n_reads=n_reads)
-        clf = Classifier.load(
-            td, targets, prof, k, plan=BatchPlan(max_queries=1 << 21, max_reads=1 << 14)
-        )
-        # warmup (compile)
-        for _ in clf.classify_bytes(fa[: len(fa) // 4])[0]:
-            pass
-        best = 0.0
-        for _ in range(2):  # best-of-2: the remote TPU runtime is noisy
-            t0 = time.time()
-            n = 0
-            for chunk in clf.classify_bytes(fa)[0]:
-                n += chunk.count(b"\n")
-            dt = time.time() - t0
-            best = max(best, n / dt)
+    # persistent workload cache: the host-side DB build is slow on throttled
+    # build machines and identical across runs (fixed seed)
+    genome_len = int(os.environ.get("BENCH_GENOME_LEN", "2000000"))
+    profname = os.environ.get("BENCH_PROFILE", "full")
+    td = os.environ.get(
+        "BENCH_CACHE_DIR",
+        os.path.expanduser(
+            f"~/.cache/jn_cuclark_tpu/bench_{profname}_{genome_len}_{n_reads}"
+        ),
+    )
+    os.makedirs(td, exist_ok=True)
+    prof, k, targets, fa = make_workload(td, n_reads=n_reads)
+    clf = Classifier.load(
+        td, targets, prof, k, plan=BatchPlan(max_queries=1 << 21, max_reads=1 << 14)
+    )
+    # warmup (compile)
+    for _ in clf.classify_bytes(fa[: len(fa) // 4])[0]:
+        pass
+    best = 0.0
+    for _ in range(2):  # best-of-2: the remote TPU runtime is noisy
+        t0 = time.time()
+        n = 0
+        for chunk in clf.classify_bytes(fa)[0]:
+            n += chunk.count(b"\n")
+        dt = time.time() - t0
+        best = max(best, n / dt)
     reads_per_sec = best
 
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")

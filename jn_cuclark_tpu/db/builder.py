@@ -156,7 +156,6 @@ def aggregate(
     targets: TargetsDef,
     min_count_target: int,
     lelement: bool,
-    need_tsk: bool = False,
 ):
     """Group occurrences by canonical k-mer and apply the reference's
     multiplicity/count rules.  Returns per-distinct-kmer arrays:
