@@ -78,6 +78,43 @@ def cmd_db_build(args):
     return 0
 
 
+def cmd_db_clean(args):
+    """Reset DB products: targets.txt, custom_* sub-DBs, metadata dotfiles
+    (scripts/clean.sh --reset semantics; Custom/ and taxonomy/ are kept)."""
+    import glob
+    import shutil
+
+    db = args.db
+    if not os.path.isdir(db):
+        print(f"database directory not found: {db}", file=sys.stderr)
+        return 1
+    victims = (
+        [os.path.join(db, "targets.txt"), os.path.join(db, "files_excluded.txt"),
+         os.path.join(db, "config.json")]
+        + glob.glob(os.path.join(db, ".custom*"))
+        + glob.glob(os.path.join(db, "custom_*"))
+    )
+    victims = [v for v in victims if os.path.exists(v)]
+    if not victims:
+        print("nothing to clean")
+        return 0
+    if not args.yes:
+        print("Will remove:")
+        for v in victims:
+            print(f"  {v}")
+        ans = input("Are you sure you want to reset the database? (yes/no) ")
+        if ans.strip().lower() not in ("y", "yes"):
+            print("Aborting database reset.")
+            return 1
+    for v in victims:
+        if os.path.isdir(v):
+            shutil.rmtree(v)
+        else:
+            os.remove(v)
+    print("Database reset complete.")
+    return 0
+
+
 def _load_classifier(args):
     from . import database
     from .engine import BatchPlan, Classifier
@@ -358,6 +395,11 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--device", action="store_true",
                     help="aggregate k-mers on the TPU (sort + segment reductions)")
     pb.set_defaults(fn=cmd_db_build)
+
+    pcln = dsub.add_parser("clean", help="remove built DB artifacts (scripts/clean.sh --reset)")
+    pcln.add_argument("db", help="database directory")
+    pcln.add_argument("--yes", action="store_true", help="skip confirmation")
+    pcln.set_defaults(fn=cmd_db_clean)
 
     pc = sub.add_parser("classify", help="classify reads against a database")
     pc.add_argument("-D", "--db", required=True, help="database directory")

@@ -241,3 +241,16 @@ def test_multi_sample_batch_and_merge(dbdir, tmp_path):
     rep = tmp_path / "rep.txt"
     assert run_cli("report", str(merged), "-o", str(rep)) == 0
     assert "among classified" in open(rep).read()
+
+
+def test_db_clean(tmp_path):
+    db = tmp_path / "cleanme"
+    (db / "Custom").mkdir(parents=True)
+    (db / "custom_0_canonical").mkdir()
+    (db / "targets.txt").write_text("x 1\n")
+    (db / ".custom").write_text("x\n")
+    (db / "config.json").write_text("{}")
+    assert run_cli("db", "clean", str(db), "--yes") == 0
+    assert (db / "Custom").exists()
+    assert not (db / "custom_0_canonical").exists()
+    assert not (db / "targets.txt").exists()
