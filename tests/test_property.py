@@ -20,6 +20,9 @@ from .test_builder import rand_seq, write_fasta
     (303, 11, True),
     (404, 21, False),
     (505, 15, True),
+    (606, 9, False),
+    (707, 17, True),
+    (808, 23, False),
 ])
 def test_random_equivalence(tmp_path, seed, k, light):
     rng = np.random.default_rng(seed)
