@@ -78,6 +78,33 @@ def cmd_db_build(args):
     return 0
 
 
+def cmd_db_update_taxonomy(args):
+    """Offline stand-in for the reference's scripts/updateTaxonomy.sh: this
+    build environment has no network egress, so print exactly what to fetch
+    and where to place it, then validate whatever is already present."""
+    tax = os.path.join(args.db, "taxonomy")
+    print(
+        "This environment cannot download NCBI taxonomy data.\n"
+        "To update the taxonomy manually, fetch from "
+        "ftp://ftp.ncbi.nih.gov/pub/taxonomy/:\n"
+        "  taxdump.tar.gz   -> extract *.dmp into " + tax + "/\n"
+        "  accession2taxid/nucl_*.accession2taxid.gz -> concatenate "
+        "(accession<TAB>taxid columns) into " + os.path.join(tax, "nucl_accss")
+        + "\nThen re-run: clark-tpu db set-targets " + args.db
+    )
+    needed = [
+        "citations.dmp", "delnodes.dmp", "division.dmp", "gc.prt",
+        "gencode.dmp", "images.dmp", "merged.dmp", "names.dmp",
+        "nodes.dmp", "nucl_accss",
+    ]
+    missing = [f for f in needed if not os.path.exists(os.path.join(tax, f))]
+    if missing:
+        print("\nCurrently missing: " + ", ".join(missing))
+        return 1
+    print("\nAll taxonomy files present.")
+    return 0
+
+
 def cmd_db_clean(args):
     """Reset DB products: targets.txt, custom_* sub-DBs, metadata dotfiles
     (scripts/clean.sh --reset semantics; Custom/ and taxonomy/ are kept)."""
@@ -130,10 +157,14 @@ def _load_classifier(args):
         cfg.subdb,
         cfg.targets,
         prof,
-        k=args.k or cfg.k,
-        min_count_target=args.min_freq_target or cfg.min_count_target,
+        k=args.k if args.k is not None else cfg.k,
+        min_count_target=(
+            args.min_freq_target
+            if args.min_freq_target is not None
+            else cfg.min_count_target
+        ),
         sampling_factor=args.sampling_factor,
-        gap=args.gap or cfg.gap,
+        gap=args.gap if args.gap is not None else cfg.gap,
         mesh=mesh,
         db_cycles=getattr(args, "db_cycles", 1),
         mesh_mode="db" if getattr(args, "shard_db", False) else "dp",
@@ -395,6 +426,14 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--device", action="store_true",
                     help="aggregate k-mers on the TPU (sort + segment reductions)")
     pb.set_defaults(fn=cmd_db_build)
+
+    put = dsub.add_parser(
+        "update-taxonomy",
+        help="offline instructions + validation for NCBI taxonomy data "
+        "(scripts/updateTaxonomy.sh equivalent; zero-egress environment)",
+    )
+    put.add_argument("db", help="database directory")
+    put.set_defaults(fn=cmd_db_update_taxonomy)
 
     pcln = dsub.add_parser("clean", help="remove built DB artifacts (scripts/clean.sh --reset)")
     pcln.add_argument("db", help="database directory")

@@ -362,40 +362,41 @@ def run(cfg: ClusterConfig, log: ClusterLogger) -> int:
 
 def _allgather_results(results: list[NodeResult]) -> list[NodeResult]:
     """Gather per-process NodeResults to every process over DCN (replaces the
-    reference's MPI_Send/Recv of pipe-delimited strings)."""
-    from jax.experimental import multihost_utils
+    reference's MPI_Send/Recv of pipe-delimited strings).
 
-    payload = json.dumps([dataclasses.asdict(r) for r in results])
-    gathered = multihost_utils.process_allgather(
-        _str_to_arr(payload), tiled=False
-    )
-    out: list[NodeResult] = []
+    Payloads are arbitrary-size: a first all-gather agrees on the max byte
+    length, then each process pads its JSON to that common size — no silent
+    truncation (round-1 capped at 64 KiB and could corrupt the master's
+    json.loads)."""
     import numpy as np
 
-    for row in np.asarray(gathered):
-        s = _arr_to_str(row)
-        if s:
-            out.extend(NodeResult(**d) for d in json.loads(s))
+    payload = json.dumps([dataclasses.asdict(r) for r in results]).encode()
+    rows = allgather_bytes(payload)
+    out: list[NodeResult] = []
+    for b in rows:
+        if b:
+            out.extend(NodeResult(**d) for d in json.loads(b.decode()))
     return out
 
 
-_PAYLOAD_CAP = 1 << 16
-
-
-def _str_to_arr(s: str):
+def allgather_bytes(payload: bytes) -> list[bytes]:
+    """All-gather one variable-length byte string per process; returns the
+    list of every process's payload, in process order."""
     import numpy as np
+    from jax.experimental import multihost_utils
 
-    b = s.encode()[:_PAYLOAD_CAP]
-    arr = np.zeros(_PAYLOAD_CAP, dtype=np.uint8)
-    arr[: len(b)] = np.frombuffer(b, dtype=np.uint8)
-    return arr
-
-
-def _arr_to_str(arr) -> str:
-    import numpy as np
-
-    b = bytes(np.asarray(arr, dtype=np.uint8))
-    return b.rstrip(b"\x00").decode(errors="replace")
+    n = np.asarray(
+        multihost_utils.process_allgather(
+            np.array(len(payload), dtype=np.int64), tiled=False
+        )
+    )
+    cap = max(int(n.max()), 1)
+    arr = np.zeros(cap, dtype=np.uint8)
+    arr[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(arr, tiled=False)
+    ).reshape(-1, cap)
+    return [bytes(gathered[i, : int(n.flat[i])]) for i in range(gathered.shape[0])]
 
 
 def main(args) -> int:

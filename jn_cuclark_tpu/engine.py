@@ -66,6 +66,7 @@ class Classifier:
         use_native: bool = True,
         db_cycles: int = 1,
         index_cache: str | None = None,
+        index_sig=None,
         mesh_mode: str = "dp",
         prebuilt_table=None,
     ):
@@ -84,7 +85,7 @@ class Classifier:
             if table is None and index_cache is not None and os.path.exists(
                 index_cache
             ):
-                table = radix_table.load_cache(index_cache)
+                table = radix_table.load_cache(index_cache, signature=index_sig)
             if table is None:
                 table = radix_table.build(
                     np.asarray(canonical, dtype=np.uint64),
@@ -93,7 +94,9 @@ class Classifier:
                 )
                 if index_cache is not None:
                     try:
-                        radix_table.save_cache(index_cache, table)
+                        radix_table.save_cache(
+                            index_cache, table, signature=index_sig
+                        )
                     except OSError:
                         pass
             self.table_meta = table.meta
@@ -192,18 +195,20 @@ class Classifier:
                     "data.",
                     file=sys.stderr,
                 )
-        # device-index cache: valid only if newer than the DB files and the
-        # load is unsampled (sampling changes the key set)
+        # device-index cache: keyed on a content signature of the DB files
+        # (size + head/tail crc — mtime alone misses same-second rebuilds and
+        # `cp -p` copies); valid only for unsampled loads (sampling changes
+        # the key set)
         use_cache = packed and sampling_factor == 1
         table = None
+        sig = radix_table.db_signature(stem) if use_cache else None
         if use_cache and os.path.exists(cache):
-            if os.path.getmtime(cache) < os.path.getmtime(stem + ".ky"):
+            table = radix_table.load_cache(cache, signature=sig)
+            if table is None:
                 try:
                     os.remove(cache)
                 except OSError:
                     pass
-            else:
-                table = radix_table.load_cache(cache)
         if table is not None:
             canonical = np.zeros(0, np.uint64)
             labels = np.zeros(0, np.uint16)
@@ -221,6 +226,7 @@ class Classifier:
             use_native=use_native,
             db_cycles=db_cycles,
             index_cache=cache if use_cache else None,
+            index_sig=sig,
             mesh_mode=mesh_mode,
             prebuilt_table=table,
         )
@@ -287,7 +293,7 @@ class Classifier:
         if verbose:
             print(
                 f"Done in {dt:.1f}s ({stats['reads_per_min']} reads/min, "
-                f"{rs.n_reads} reads)"
+                f"{n_reads} reads)"
             )
         return stats
 

@@ -135,7 +135,10 @@ def _parse_fasta(data: bytes, buf: np.ndarray) -> ReadSet:
 
 def _parse_fastq(data: bytes, buf: np.ndarray) -> ReadSet:
     line_starts, line_ends = _line_index(buf)
-    n_full = len(line_starts) // 4
+    # keep a truncated trailing record as long as its header AND sequence
+    # lines exist (matches the native scan_fastq; a lone trailing header
+    # line is dropped)
+    n_full = (len(line_starts) + 2) // 4
     if n_full == 0:
         raise ValueError("no FASTQ records found")
     hdr = line_starts[0::4][:n_full]

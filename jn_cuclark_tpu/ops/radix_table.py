@@ -146,10 +146,30 @@ def build(
     )
 
 
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2
 
 
-def save_cache(path: str, table: RadixTable):
+def db_signature(stem: str) -> np.ndarray:
+    """Cheap content signature of the DB files backing a cached index:
+    (.ky size, .sz size, crc32 of .ky head+tail).  Guards against a DB
+    rebuilt within mtime granularity or copied with `cp -p` (which round 1's
+    mtime-only check missed)."""
+    import os
+    import zlib
+
+    ky, sz = stem + ".ky", stem + ".sz"
+    n_ky = os.path.getsize(ky)
+    n_sz = os.path.getsize(sz)
+    crc = 0
+    with open(ky, "rb") as f:
+        crc = zlib.crc32(f.read(1 << 16), crc)
+        if n_ky > (1 << 16):
+            f.seek(-min(1 << 16, n_ky - (1 << 16)), os.SEEK_END)
+            crc = zlib.crc32(f.read(), crc)
+    return np.array([n_ky, n_sz, crc], dtype=np.int64)
+
+
+def save_cache(path: str, table: RadixTable, signature: np.ndarray | None = None):
     """Persist the built table so repeat loads skip the ~1s/M-key build.
     Written atomically (tmp + rename) so concurrent processes never observe a
     truncated file."""
@@ -168,6 +188,11 @@ def save_cache(path: str, table: RadixTable):
                 stash_keys=table.stash_keys,
                 stash_labels=table.stash_labels,
                 meta=np.array([table.m1, table.lb, table.slot_width]),
+                signature=(
+                    signature
+                    if signature is not None
+                    else np.zeros(3, dtype=np.int64)
+                ),
             )
         os.replace(tmp, path)
     except BaseException:
@@ -178,10 +203,14 @@ def save_cache(path: str, table: RadixTable):
         raise
 
 
-def load_cache(path: str) -> RadixTable | None:
+def load_cache(path: str, signature: np.ndarray | None = None) -> RadixTable | None:
     try:
         z = np.load(path)
         if int(z["version"]) != _CACHE_VERSION:
+            return None
+        if signature is not None and not np.array_equal(
+            np.asarray(z["signature"]), signature
+        ):
             return None
         m1, lb, c = (int(x) for x in z["meta"])
         return RadixTable(

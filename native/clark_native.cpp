@@ -180,8 +180,10 @@ int64_t format_rows(const uint8_t* data,
     double conf = (delta < 0.001) ? 0.0 : (double)best[r] / delta;
     const char* tname = tn_buf + tn_off[ibest[r]];
     if (out_cap - w < 256) return -1;
-    w += snprintf(out + w, out_cap - w, "%s,%g,%s,%u,%g\n", name, gamma,
-                  tname, (unsigned)best[r], conf);
+    int64_t m = snprintf(out + w, out_cap - w, "%s,%g,%s,%u,%g\n", name, gamma,
+                         tname, (unsigned)best[r], conf);
+    if (m >= out_cap - w) return -1;  // snprintf truncated this row
+    w += m;
   }
   return w;
 }
@@ -205,17 +207,23 @@ int64_t format_rows_extended(const uint8_t* data,
     memcpy(name, data + ns, len);
     name[len] = '\0';
     if (out_cap - w < 64 + 12ll * ntargets) return -1;
-    w += snprintf(out + w, out_cap - w, "%s", name);
+    int64_t m = snprintf(out + w, out_cap - w, "%s", name);
+    if (m >= out_cap - w) return -1;
+    w += m;
     const int32_t* row = counts + r * (int64_t)(ntargets + 1);
     for (int32_t t = 1; t <= ntargets; t++) {
-      w += snprintf(out + w, out_cap - w, ",%d", row[t]);
+      m = snprintf(out + w, out_cap - w, ",%d", row[t]);
+      if (m >= out_cap - w) return -1;
+      w += m;
     }
     double gamma = (double)total[r] / ((double)norm[r] - k + 1.0);
     double delta = (double)(best[r] + sbest[r]);
     double conf = (delta < 0.001) ? 0.0 : (double)best[r] / delta;
     const char* tname = tn_buf + tn_off[ibest[r]];
-    w += snprintf(out + w, out_cap - w, ",%g,%s,%u,%g\n", gamma, tname,
-                  (unsigned)best[r], conf);
+    m = snprintf(out + w, out_cap - w, ",%g,%s,%u,%g\n", gamma, tname,
+                 (unsigned)best[r], conf);
+    if (m >= out_cap - w) return -1;
+    w += m;
   }
   return w;
 }

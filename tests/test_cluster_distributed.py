@@ -140,3 +140,13 @@ file = cluster_run.log
     for node in ("nodeA", "nodeB"):
         csv = (tmp_path / "results" / f"{node}_{node}.csv").read_text().splitlines()
         assert len(csv) == 21
+
+
+def test_allgather_bytes_large_payload():
+    """Round 1 silently truncated gathered payloads at 64 KiB; now the
+    gather sizes itself from the max payload length."""
+    from jn_cuclark_tpu.cluster import allgather_bytes
+
+    payload = b"x" * (1 << 17) + b"END"
+    rows = allgather_bytes(payload)
+    assert rows == [payload]

@@ -129,3 +129,18 @@ def _fill_dbcache(clf, tmp_path_factory):
     _DBCACHE[id(py)] = db
     _DBCACHE[id(nat)] = db
     yield
+
+
+def test_truncated_fastq_trailing_record(clf):
+    """A trailing record with header+sequence but no +/quality lines is kept,
+    identically by the numpy fallback and the native scanner."""
+    py, nat, g = clf
+    sub1, sub2 = g[50:150], g[200:300]
+    full = f"@r1\n{sub1}\n+\nIIII\n".encode()
+    trunc = full + f"@r2\n{sub2}\n".encode()
+    rows = both(clf, trunc)
+    assert len(rows) == 2
+    assert rows[1].split(",")[0] == "r2"
+    # a lone trailing header line (no sequence) is dropped by both paths
+    rows = both(clf, full + b"@r3\n")
+    assert len(rows) == 1

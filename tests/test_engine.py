@@ -169,3 +169,18 @@ def test_paired_merge(setup):
     pairs = [(n, a + "N" + b) for (n, a), (_, b) in zip(r1, r2)]
     want = oracle_csv(pairs, db, K, targets.target_names, paired=True)
     assert got == want
+
+
+def test_classify_file_verbose(setup, tmp_path, capsys):
+    """verbose=True printed an undefined variable in round 1 (NameError)."""
+    dbdir, tpath, prof, targets, genomes, reads = setup
+    clf = Classifier.load(str(dbdir), targets, prof, K)
+    obj = tmp_path / "verbose_reads.fa"
+    with open(obj, "w") as f:
+        for n, s in reads[:5]:
+            f.write(f">{n}\n{s}\n")
+    res = tmp_path / "verbose_out"
+    stats = clf.classify_file(str(obj), str(res), verbose=True)
+    assert stats["reads"] == 5
+    out = capsys.readouterr().out
+    assert "5 reads)" in out and "Done in" in out

@@ -82,3 +82,35 @@ def test_chunked_probe_covers_all():
         )
         got = np.maximum(got, lab)
     assert np.array_equal(got, labels1)
+
+
+def test_cache_signature_invalidation(tmp_path):
+    """The device-index cache is keyed on DB content, not mtime."""
+    import os
+
+    from jn_cuclark_tpu.ops import radix_table
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(1, 1 << 40, size=500, dtype=np.uint64))
+    labels1 = rng.integers(1, 5, size=len(keys)).astype(np.int32)
+    t = radix_table.build(keys, labels1, k=27)
+
+    stem = str(tmp_path / "db")
+    with open(stem + ".ky", "wb") as f:
+        f.write(keys.tobytes())
+    with open(stem + ".sz", "wb") as f:
+        f.write(b"\x01" * 64)
+    sig = radix_table.db_signature(stem)
+    cache = stem + ".idx.npz"
+    radix_table.save_cache(cache, t, signature=sig)
+    assert radix_table.load_cache(cache, signature=sig) is not None
+
+    # rewrite .ky with different content but same size + preserved mtime
+    st = os.stat(stem + ".ky")
+    alt = keys.copy()
+    alt[0] ^= np.uint64(1)
+    with open(stem + ".ky", "wb") as f:
+        f.write(alt.tobytes())
+    os.utime(stem + ".ky", ns=(st.st_atime_ns, st.st_mtime_ns))
+    sig2 = radix_table.db_signature(stem)
+    assert radix_table.load_cache(cache, signature=sig2) is None
