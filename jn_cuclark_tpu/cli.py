@@ -183,9 +183,6 @@ def _maybe_gunzip(path: str, tmpdir: str) -> str:
 def cmd_classify(args):
     import tempfile
 
-    if getattr(args, "shard_db", False) and getattr(args, "db_cycles", 1) > 1:
-        print("classify: --shard-db and --db-cycles are mutually exclusive", file=sys.stderr)
-        return 1
     if getattr(args, "threads", None):
         os.environ["OMP_NUM_THREADS"] = str(args.threads)
     clf = _load_classifier(args)

@@ -57,6 +57,8 @@ class ClusterConfig:
     sampling_factor: int = 1
     extended: bool = False
     gzipped: bool = False
+    shard_db: bool = False  # jax_distributed: shard the DB across ALL hosts
+    db_cycles: int = 1  # out-of-core cycles per device (composes with shard_db)
     master_processes_reads: bool = True
     keep_local_results: bool = True
     log_level: str = "info"
@@ -106,6 +108,8 @@ class ClusterConfig:
             sampling_factor=int(float(classif.get("sampling_factor", 1)) or 1),
             extended=b(classif, "extended", False),
             gzipped=b(classif, "gzipped", False),
+            shard_db=b(classif, "shard_db", False),
+            db_cycles=int(classif.get("db_cycles", 1)),
             master_processes_reads=b(options, "master_processes_reads", True),
             keep_local_results=b(options, "keep_local_results", True),
             log_level=logging_.get("level", "info"),
@@ -223,6 +227,97 @@ def run_node(cfg: ClusterConfig, node: NodeSpec, log: ClusterLogger) -> NodeResu
         )
 
 
+def run_sharded(cfg: ClusterConfig, log: ClusterLogger) -> list[NodeResult]:
+    """DB-sharded multi-host classification — the mode the reference never
+    had (kent-mpi gives each node a full DB copy, kent_mpi.cpp:508-631;
+    BASELINE config 5 asks for the DB sharded across hosts instead).
+
+    Every process holds 1/P of the hash table on its devices (1/(P*cycles)
+    in HBM with db_cycles); every sample in [reads] is classified JOINTLY by
+    all processes — each packs the same read batches (inputs must be
+    readable on every host), probes its shard, and per-read counts merge
+    with a psum over DCN.  Process 0 writes the CSVs/abundance; the others
+    drain the same collective program."""
+    import jax
+
+    from . import abundance, database
+    from .engine import Classifier
+    from .io.fasta import merge_paired
+    from .parallel.mesh import make_mesh
+
+    pid = jax.process_index()
+    dbcfg = database.DBConfig.load(cfg.database)
+    mesh = make_mesh(cfg.num_devices)  # all global devices by default
+    log.info(
+        f"shard_db: {mesh.devices.size} devices across "
+        f"{jax.process_count()} processes, db_cycles={cfg.db_cycles}"
+    )
+    clf = Classifier.load(
+        dbcfg.subdb,
+        dbcfg.targets,
+        dbcfg.profile,
+        k=cfg.kmer_size or dbcfg.k,
+        min_count_target=cfg.min_freq_target or dbcfg.min_count_target,
+        sampling_factor=cfg.sampling_factor,
+        gap=cfg.gap_iteration or dbcfg.gap,
+        mesh=mesh,
+        mesh_mode="db",
+        db_cycles=cfg.db_cycles,
+    )
+    results: list[NodeResult] = []
+    for node in cfg.nodes:
+        t0 = time.time()
+        reads0 = node.reads[0]
+        result_base, abundance_file, rdir = _result_paths(
+            cfg, node.hostname, reads0
+        )
+        try:
+            with open(reads0, "rb") as f:
+                data = f.read()
+            paired = len(node.reads) > 1
+            if paired:
+                with open(node.reads[1], "rb") as f:
+                    data = merge_paired(data, f.read())
+            log.info(f"[{node.hostname}] sharded classify {reads0}")
+            gen, n_reads = clf.classify_bytes(
+                data, paired=paired, extended=cfg.extended
+            )
+            if pid == 0:
+                out = result_base + ".csv"
+                with open(out, "wb") as f:
+                    f.write(clf._header(cfg.extended))
+                    for chunk in gen:
+                        f.write(chunk)
+                res = abundance.estimate([out], db_dir=cfg.database)
+                with open(abundance_file, "w") as f:
+                    f.write(res.text())
+            else:
+                for _ in gen:  # drive the same collectives, discard bytes
+                    pass
+                out, abundance_file = "", ""
+            results.append(
+                NodeResult(
+                    hostname=node.hostname,
+                    success=True,
+                    elapsed_seconds=time.time() - t0,
+                    reads=n_reads,
+                    result_file=out,
+                    abundance_file=abundance_file,
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — deterministic across procs
+            log.error(f"[{node.hostname}] FAILED: {e}")
+            results.append(
+                NodeResult(
+                    hostname=node.hostname,
+                    success=False,
+                    elapsed_seconds=time.time() - t0,
+                    error_message=str(e),
+                )
+            )
+    return results
+
+
 def generate_report(
     cfg: ClusterConfig, results: list[NodeResult], merged_path: str, out_path: str
 ):
@@ -282,6 +377,14 @@ def preflight(cfg: ClusterConfig, log: ClusterLogger) -> bool:
         for path in n.reads:
             if os.path.exists(path):
                 log.info(f"[{n.hostname}] reads OK: {path}")
+            elif cfg.shard_db:
+                # sharded mode: every process packs every sample, so inputs
+                # must be readable on every host
+                log.error(
+                    f"[{n.hostname}] shard_db requires reads readable on "
+                    f"every host: {path}"
+                )
+                problems.append(f"unreadable reads for shard_db: {path}")
             else:
                 log.warn(
                     f"[{n.hostname}] reads not readable from this host: {path}"
@@ -334,12 +437,18 @@ def run(cfg: ClusterConfig, log: ClusterLogger) -> int:
         if skipped:
             log.warn(f"skipping nodes without locally readable reads: {skipped}")
 
-    results = [run_node(cfg, n, log) for n in mine]
-
-    if multiproc:
-        results = _allgather_results(results)
+    if multiproc and cfg.shard_db:
+        # joint DB-sharded classification: every process computes every
+        # sample; no result gather needed (outputs are replicated)
+        results = run_sharded(cfg, log)
         if pid != 0:
             return 0
+    else:
+        results = [run_node(cfg, n, log) for n in mine]
+        if multiproc:
+            results = _allgather_results(results)
+            if pid != 0:
+                return 0
 
     # master: merge + report (kent_mpi.cpp:637-747)
     rdir = cfg.results_dir

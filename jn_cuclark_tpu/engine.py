@@ -81,6 +81,23 @@ class Classifier:
         self.db_cycles = db_cycles
 
         if packed:
+            if mesh is not None and mesh_mode == "db":
+                # DB sharded over the mesh axis (multi-process capable),
+                # composable with out-of-core cycling
+                from .parallel.mesh import ShardedRadixTable
+
+                self.sharded = ShardedRadixTable(
+                    mesh,
+                    np.asarray(canonical, dtype=np.uint64),
+                    np.asarray(labels, dtype=np.int32) + 1,
+                    self.n_targets,
+                    k,
+                    db_cycles=db_cycles,
+                )
+                self.table_meta = self.sharded.meta
+                if db_cycles == 1:
+                    self.batch_fn = self.sharded.classify
+                return
             table = prebuilt_table
             if table is None and index_cache is not None and os.path.exists(
                 index_cache
@@ -104,16 +121,16 @@ class Classifier:
                 # out-of-core: keep chunks host-side, stream per cycle
                 if mesh is not None:
                     raise NotImplementedError(
-                        "db_cycles with a mesh is not supported yet"
+                        "db_cycles with a dp mesh is not supported; use "
+                        "mesh_mode='db' (sharded rows compose with cycling)"
                     )
                 self.table_chunks = radix_table.chunk_table(table, db_cycles)
                 self.stash = (table.stash_keys, table.stash_labels)
                 return
             if mesh is not None:
-                from .parallel.mesh import shard_radix_table, shard_reads
+                from .parallel.mesh import shard_reads
 
-                sharder = shard_reads if mesh_mode == "dp" else shard_radix_table
-                (self.slots, self.lab_flat), self.batch_fn = sharder(
+                (self.slots, self.lab_flat), self.batch_fn = shard_reads(
                     mesh, table, self.n_targets, self.k
                 )
             else:
@@ -199,7 +216,12 @@ class Classifier:
         # (size + head/tail crc — mtime alone misses same-second rebuilds and
         # `cp -p` copies); valid only for unsampled loads (sampling changes
         # the key set)
-        use_cache = packed and sampling_factor == 1
+        use_cache = (
+            packed
+            and sampling_factor == 1
+            # the mesh-sharded path plans/fills from the raw key set
+            and not (mesh is not None and mesh_mode == "db")
+        )
         table = None
         sig = radix_table.db_signature(stem) if use_cache else None
         if use_cache and os.path.exists(cache):
@@ -336,11 +358,11 @@ class Classifier:
 
     def _cycled_core(self, lengths, paired, extended, packer, formatter):
         """Cycle-outer / batch-inner out-of-core classification: each table
-        chunk is uploaded once per file, every batch is probed against it,
-        per-read counts accumulate host-side (the reference's
-        swapDbParts/host-row merge, CuCLARK_hh.hh:1765-1772)."""
-        from .ops.device_pipeline import classify_batch_counts_chunk
-
+        chunk/cycle is uploaded once per file, every batch is probed against
+        it, per-read counts accumulate host-side (the reference's
+        swapDbParts/host-row merge, CuCLARK_hh.hh:1765-1772).  Chunks come
+        from either the single-device host chunking (table_chunks) or the
+        mesh-sharded table's cycles (ShardedRadixTable)."""
         k = self.k
         norm_all = lengths - (NBN if paired else 0)
         specs = list(self._plan_batches(lengths))
@@ -356,25 +378,47 @@ class Classifier:
                 )
             packed_batches.append((words, vwords))
         acc = [None] * len(specs)
-        sk = jnp.asarray(self.stash[0])
-        sl = jnp.asarray(self.stash[1])
-        for chunk in self.table_chunks:
-            slots = jnp.asarray(chunk["slots"])
-            lab = jnp.asarray(chunk["labels"])
-            start = jnp.int32(chunk["start_row"])
-            use_stash = jnp.bool_(chunk["use_stash"])
+
+        sharded = getattr(self, "sharded", None)
+        if sharded is not None:
+            n_passes = sharded.n_cycles
+            begin_pass = sharded.begin_cycle
+            end_pass = sharded.end_cycle
+        else:
+            from .ops.device_pipeline import classify_batch_counts_chunk
+
+            sk = jnp.asarray(self.stash[0])
+            sl = jnp.asarray(self.stash[1])
+            n_passes = len(self.table_chunks)
+
+            def begin_pass(j):
+                chunk = self.table_chunks[j]
+                slots = jnp.asarray(chunk["slots"])
+                lab = jnp.asarray(chunk["labels"])
+                start = jnp.int32(chunk["start_row"])
+                use_stash = jnp.bool_(chunk["use_stash"])
+
+                def counts_fn(words, vwords):
+                    return classify_batch_counts_chunk(
+                        slots, lab, sk, sl, words, vwords, start, use_stash,
+                        k=k, n_targets=self.n_targets, **self.table_meta,
+                    )
+
+                return counts_fn
+
+            def end_pass():
+                pass
+
+        for j in range(n_passes):
+            counts_fn = begin_pass(j)
             for bi, (words, vwords) in enumerate(packed_batches):
-                counts = classify_batch_counts_chunk(
-                    slots, lab, sk, sl,
-                    jnp.asarray(words), jnp.asarray(vwords),
-                    start, use_stash,
-                    k=k, n_targets=self.n_targets, **self.table_meta,
-                )
+                counts = counts_fn(jnp.asarray(words), jnp.asarray(vwords))
                 c = np.asarray(counts)
                 if acc[bi] is None:
                     acc[bi] = c.copy()
                 else:
                     acc[bi] += c
+            end_pass()
         for (r0, r1, stride, r_cap), counts in zip(specs, acc):
             nb = r1 - r0
             t = counts[:nb, 1:]

@@ -68,45 +68,57 @@ class RadixTable:
         return dict(m1=self.m1, lb=self.lb, c=self.slot_width)
 
 
-def _fill(keys, labels1, mbits, c, lb):
-    n = 1 << mbits
+@dataclasses.dataclass
+class TablePlan:
+    """Deterministic global layout of a radix table, computed WITHOUT
+    materializing the slot array — every process of a multi-host run derives
+    the identical plan from the (identical) key set and then fills only its
+    own row range with `fill_rows`."""
+
+    m1: int  # log2(row count)
+    lb: int  # label bits packed into slots (0 = separate label array)
+    c: int  # slots per row
+    stash_keys: np.ndarray  # [STASH_CAP] uint64 (EMPTY padded)
+    stash_labels: np.ndarray  # [STASH_CAP] int32 label+1
+    bucket: np.ndarray  # [n] int64 row of each key
+    rank: np.ndarray  # [n] int64 slot rank of each key within its row
+
+    @property
+    def n_rows(self) -> int:
+        return 1 << self.m1
+
+    @property
+    def meta(self) -> dict:
+        return dict(m1=self.m1, lb=self.lb, c=self.c)
+
+
+def _bucket_ranks(keys: np.ndarray, mbits: int):
+    """Per-key (bucket, within-bucket rank) in original key order; rank
+    follows the stable sort by bucket, so overflow selection is
+    deterministic."""
     b = _mix_np(keys, mbits)
     order = np.argsort(b, kind="stable")
     bs = b[order]
     start_of_run = np.concatenate([[True], bs[1:] != bs[:-1]])
     run_id = np.cumsum(start_of_run) - 1
     run_first = np.nonzero(start_of_run)[0]
-    rank = np.arange(len(bs)) - run_first[run_id]
-    fits = rank < c
-    slots = np.full((n, c), EMPTY, dtype=np.uint64)
-    ok, ko = bs[fits], keys[order][fits]
-    lo = labels1[order][fits].astype(np.uint64)
-    if lb:
-        slots[ok, rank[fits]] = (ko << np.uint64(lb)) | lo
-        labels = np.zeros(0, dtype=np.uint32)
-    else:
-        slots[ok, rank[fits]] = ko
-        labels = np.zeros(n * c, dtype=np.uint32)
-        labels[ok * c + rank[fits]] = lo.astype(np.uint32)
-    overflow = np.zeros(len(keys), dtype=bool)
-    overflow[order[~fits]] = True
-    return slots, labels, overflow
+    rank_sorted = np.arange(len(bs), dtype=np.int64) - run_first[run_id]
+    rank = np.empty(len(bs), dtype=np.int64)
+    rank[order] = rank_sorted
+    return b, rank
 
 
-def build(
+def plan_table(
     keys: np.ndarray,
     labels1: np.ndarray,
     k: int | None = None,
     c: int | None = None,
     load: float | None = None,
-) -> RadixTable:
-    """Build from unique uint64 canonical keys and int32 labels(+1).
+) -> TablePlan:
+    """Choose (m1, lb, c) and the overflow stash for a key set.
 
-    k enables label packing (single-gather probe); None disables it.
-    c/load default by DB size: wide 128-slot buckets (~20B/key, the measured
-    v5e optimum) for real DBs, narrow 16-slot buckets for tiny ones (cheaper
-    on CPU and for toy tables).
-    """
+    Pure function of its inputs: independent processes planning the same DB
+    agree bit-for-bit (required for multi-host sharding)."""
     keys = np.asarray(keys, dtype=np.uint64)
     labels1 = np.asarray(labels1, dtype=np.int32)
     n = max(len(keys), 1)
@@ -125,7 +137,8 @@ def build(
                 lb = 0
     m1 = max(int(np.ceil(np.log2(max(n / load, 1.0)))), 1)
     while True:
-        slots, labels, ovf = _fill(keys, labels1, m1, c, lb)
+        b, rank = _bucket_ranks(keys, m1)
+        ovf = rank >= c
         n_ovf = int(ovf.sum())
         if n_ovf <= STASH_CAP:
             break
@@ -135,14 +148,69 @@ def build(
     if n_ovf:
         sk[:n_ovf] = keys[ovf]
         sl[:n_ovf] = labels1[ovf]
+    return TablePlan(
+        m1=m1, lb=lb, c=c, stash_keys=sk, stash_labels=sl, bucket=b, rank=rank
+    )
+
+
+def fill_rows(
+    keys: np.ndarray,
+    labels1: np.ndarray,
+    plan: TablePlan,
+    row_start: int,
+    row_end: int,
+):
+    """Materialize rows [row_start, row_end) of the planned table.
+
+    Returns (slots [rows, c] uint64, labels) where labels is the parallel
+    flat uint32 array when plan.lb == 0, else an empty array.  row_end may
+    exceed plan.n_rows (padding rows for even device splits stay EMPTY)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    labels1 = np.asarray(labels1, dtype=np.int32)
+    c, lb = plan.c, plan.lb
+    rows = row_end - row_start
+    sel = (plan.bucket >= row_start) & (plan.bucket < row_end) & (plan.rank < c)
+    bb = plan.bucket[sel] - row_start
+    rr = plan.rank[sel]
+    ko = keys[sel]
+    lo = labels1[sel].astype(np.uint64)
+    slots = np.full((rows, c), EMPTY, dtype=np.uint64)
+    if lb:
+        slots[bb, rr] = (ko << np.uint64(lb)) | lo
+        labels = np.zeros(0, dtype=np.uint32)
+    else:
+        slots[bb, rr] = ko
+        labels = np.zeros(rows * c, dtype=np.uint32)
+        labels[bb * c + rr] = lo.astype(np.uint32)
+    return slots, labels
+
+
+def build(
+    keys: np.ndarray,
+    labels1: np.ndarray,
+    k: int | None = None,
+    c: int | None = None,
+    load: float | None = None,
+) -> RadixTable:
+    """Build from unique uint64 canonical keys and int32 labels(+1).
+
+    k enables label packing (single-gather probe); None disables it.
+    c/load default by DB size: wide 128-slot buckets (~20B/key, the measured
+    v5e optimum) for real DBs, narrow 16-slot buckets for tiny ones (cheaper
+    on CPU and for toy tables).
+    """
+    keys = np.asarray(keys, dtype=np.uint64)
+    labels1 = np.asarray(labels1, dtype=np.int32)
+    plan = plan_table(keys, labels1, k=k, c=c, load=load)
+    slots, labels = fill_rows(keys, labels1, plan, 0, plan.n_rows)
     return RadixTable(
         slots=slots,
         labels=labels,
-        stash_keys=sk,
-        stash_labels=sl,
-        m1=m1,
-        lb=lb,
-        slot_width=c,
+        stash_keys=plan.stash_keys,
+        stash_labels=plan.stash_labels,
+        m1=plan.m1,
+        lb=plan.lb,
+        slot_width=plan.c,
     )
 
 

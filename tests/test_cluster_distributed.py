@@ -150,3 +150,130 @@ def test_allgather_bytes_large_payload():
     payload = b"x" * (1 << 17) + b"END"
     rows = allgather_bytes(payload)
     assert rows == [payload]
+
+
+def test_two_process_db_sharded(tmp_path):
+    """BASELINE config 5 / north-star mode: the DB sharded ACROSS PROCESSES
+    (1 CPU device each), reads classified jointly, counts merged with psum
+    over the distributed mesh — output byte-equal to single-process."""
+    rng = np.random.default_rng(77)
+    dbdir = tmp_path / "db"
+    (dbdir / "sub").mkdir(parents=True)
+    genomes = [rand_seq(rng, 500) for _ in range(3)]
+    with open(dbdir / "targets.txt", "w") as tf:
+        for i, g in enumerate(genomes):
+            p = dbdir / f"g{i}.fa"
+            write_fasta(p, [(f"g{i}", g)])
+            tf.write(f"{p} {800 + i}\n")
+    tax = dbdir / "taxonomy"
+    tax.mkdir()
+    with open(tax / "nodes.dmp", "w") as f:
+        f.write("1\t|\t1\t|\tno rank\t|\tX\t|\n")
+        for t in (800, 801, 802):
+            f.write(f"{t}\t|\t1\t|\tspecies\t|\tX\t|\n")
+    with open(tax / "names.dmp", "w") as f:
+        for t in (800, 801, 802):
+            f.write(f"{t}\t|\tSpecies {t}\t|\t\t|\tscientific name\t|\n")
+
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.database import DBConfig
+    from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    prof = params.tiny(htsize=2039, k=9)
+    targets = parse_targets(str(dbdir / "targets.txt"))
+    builder.build_database(targets, str(dbdir / "sub"), prof, 9)
+    cfg = DBConfig(
+        db_dir=str(dbdir),
+        targets=str(dbdir / "targets.txt"),
+        subdb=str(dbdir / "sub"),
+        rank=0,
+        profile_name=prof.name,
+        k=9,
+        gap=prof.default_gap,
+        min_count_target=0,
+        htsize=prof.htsize,
+        light=prof.light,
+    )
+    cfg.save()
+
+    for node in ("nodeA", "nodeB"):
+        with open(tmp_path / f"{node}.fa", "w") as f:
+            for i in range(30):
+                g = genomes[i % 3]
+                pos = rng.integers(0, len(g) - 70)
+                f.write(f">{node}_{i}\n{g[pos:pos+70]}\n")
+
+    port = free_port()
+    conf = tmp_path / "cluster.conf"
+    conf.write_text(
+        f"""[cluster]
+master = nodeA
+workers = nodeB
+backend = jax_distributed
+coordinator_address = 127.0.0.1:{port}
+
+[paths]
+cuclark_dir = {tmp_path}
+database = {dbdir}
+results_dir = results
+
+[classification]
+shard_db = true
+db_cycles = 2
+
+[reads]
+nodeA = {tmp_path}/nodeA.fa
+nodeB = {tmp_path}/nodeB.fa
+
+[logging]
+level = info
+file = cluster_run.log
+"""
+    )
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CLARK_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    env["CLARK_TPU_NUM_PROCESSES"] = "2"
+    env.pop("XLA_FLAGS", None)
+
+    procs = []
+    for pid in range(2):
+        e = dict(env)
+        e["CLARK_TPU_PROCESS_ID"] = str(pid)
+        e["CLARK_TPU_NODE_NAME"] = "nodeA" if pid == 0 else "nodeB"
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "jn_cuclark_tpu.cli", "cluster", "-c", str(conf)],
+                env=e,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            pytest.fail(f"sharded cluster process hung:\n{err.decode()[-2000:]}")
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    report = (tmp_path / "results" / "cluster_report.txt").read_text()
+    assert "Nodes processed: 2/2" in report
+    assert (tmp_path / "results" / "cluster_abundance.csv").exists()
+
+    # byte-equality vs single-process classification of the same inputs
+    from jn_cuclark_tpu.engine import Classifier
+
+    clf = Classifier.load(str(dbdir / "sub"), targets, prof, 9)
+    for node in ("nodeA", "nodeB"):
+        want = tmp_path / f"{node}_ref"
+        clf.classify_file(str(tmp_path / f"{node}.fa"), str(want))
+        got = (tmp_path / "results" / f"{node}_{node}.csv").read_bytes()
+        assert got == (tmp_path / f"{node}_ref.csv").read_bytes(), node

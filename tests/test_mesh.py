@@ -81,3 +81,36 @@ def test_dp_mode_matches_single(db):
         str(tmp_path), targets, prof, K, plan=plan, mesh=make_mesh(4), mesh_mode="dp"
     )
     assert ext1 == oracle.rows(dp.classify_bytes(fa, extended=True)[0])
+
+
+def test_db_sharded_matches_single(db):
+    """DB-sharded mesh mode (the multi-process-capable path): byte-equal CSV
+    incl. extended counts, on 8 and 3 devices."""
+    tmp_path, prof, targets, fa = db
+    plan = BatchPlan(window_budget=1 << 14)
+    single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
+    ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
+    for nd in (8, 3):
+        sh = Classifier.load(
+            str(tmp_path), targets, prof, K, plan=plan,
+            mesh=make_mesh(nd), mesh_mode="db",
+        )
+        assert rows1 == oracle.rows(sh.classify_bytes(fa)[0]), f"ndev={nd}"
+        assert ext1 == oracle.rows(sh.classify_bytes(fa, extended=True)[0])
+
+
+def test_db_sharded_with_cycles(db):
+    """Out-of-core cycling composed with the sharded mesh (HBM holds
+    1/(P*cycles) of the table per step) must still be byte-identical."""
+    tmp_path, prof, targets, fa = db
+    plan = BatchPlan(window_budget=1 << 14)
+    single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
+    sh = Classifier.load(
+        str(tmp_path), targets, prof, K, plan=plan,
+        mesh=make_mesh(4), mesh_mode="db", db_cycles=3,
+    )
+    assert rows1 == oracle.rows(sh.classify_bytes(fa)[0])
+    ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
+    assert ext1 == oracle.rows(sh.classify_bytes(fa, extended=True)[0])
