@@ -44,10 +44,12 @@ class BatchPlan:
     """Fixed device shapes; the same jitted executables serve every batch."""
 
     max_queries: int = 1 << 20  # flat path: query slots per batch
-    max_reads: int = 1 << 14  # reads per batch
-    window_budget: int = 1 << 22  # packed path: R*stride char slots per batch
-    # NOTE: 2^23/2^15 was tried and regressed ~25% on v5e (larger [R,S]
-    # intermediates outweigh the per-call overhead saved)
+    max_reads: int = 1 << 16  # reads per batch
+    window_budget: int = 1 << 23  # packed path: R*stride char slots per batch
+    # NOTE: with the dense-counts scoring path, batches past 2^22 regressed
+    # ~25% on v5e (the segment_sum intermediates ballooned); with the
+    # sort-runs top-2 path 2^23 is ~1.7x FASTER than 2^21 (remote per-call
+    # overhead amortizes) and 2^24 exceeds 16G HBM at 150bp strides.
 
 
 class Classifier:
@@ -140,7 +142,7 @@ class Classifier:
                 self.stash_l = jax.device_put(table.stash_labels)
                 meta = self.table_meta
 
-                def batch_fn(words, vwords):
+                def batch_fn(words, vwords, extended=True):
                     return device_pipeline.classify_batch(
                         self.slots,
                         self.lab_flat,
@@ -150,6 +152,7 @@ class Classifier:
                         vwords,
                         k=self.k,
                         n_targets=self.n_targets,
+                        extended=extended,
                         **meta,
                     )
 
@@ -455,7 +458,9 @@ class Classifier:
                         [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
                     )
             with maybe_phase("dispatch"):
-                return (r0, r1), self.batch_fn(jnp.asarray(words), jnp.asarray(vwords))
+                return (r0, r1), self.batch_fn(
+                    jnp.asarray(words), jnp.asarray(vwords), extended=extended
+                )
 
         def drain(entry):
             (r0, r1), (total, ib, b, sb, counts) = entry
@@ -550,7 +555,9 @@ class Classifier:
                 vwords = np.concatenate(
                     [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
                 )
-            return (r0, r1), self.batch_fn(jnp.asarray(words), jnp.asarray(vwords))
+            return (r0, r1), self.batch_fn(
+                jnp.asarray(words), jnp.asarray(vwords), extended=extended
+            )
 
         # async pipeline: keep up to DEPTH batches in flight (jax dispatch is
         # async; fetching np.asarray(...) blocks only the oldest batch)

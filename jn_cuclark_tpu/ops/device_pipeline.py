@@ -95,14 +95,19 @@ def classify_batch_counts_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets")
+    jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets", "extended")
 )
 def classify_batch(
     slots, labels, stash_keys, stash_labels, words, vwords,
-    *, k, m1, lb, c, n_targets,
+    *, k, m1, lb, c, n_targets, extended=True,
 ):
     """Full single-device batch step; returns (total, ibest, best, sbest,
-    counts[R, T+1])."""
+    counts[R, T+1]).
+
+    extended=False skips the dense count matrix (needed only for --extended
+    CSV columns) and takes the sort-runs top-2 path (score.top2_from_labels):
+    ~15x cheaper at 500 targets, bit-identical results; counts comes back as
+    a [R, 0] placeholder."""
     canon, valid = window_canonicals(words, vwords, k)
     q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
     lab = radix_table.probe(
@@ -110,6 +115,9 @@ def classify_batch(
     )
     lab = jnp.where(valid.ravel(), lab, 0)
     R, S = valid.shape
+    if not extended:
+        total, ib, b, isb, sb = score.top2_from_labels(lab.reshape(R, S))
+        return total, ib, b, sb, jnp.zeros((R, 0), jnp.int32)
     rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
     counts = score.counts_from_hits(lab, rid, R, n_targets)
     total, ib, b, isb, sb = score.read_results(counts)

@@ -177,9 +177,38 @@ class ShardedRadixTable:
             col0 = S - jnp.sum(counts[:, 1:], axis=1)
             return counts.at[:, 0].set(col0.astype(counts.dtype))
 
+        def local_labels(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
+            """Per-window (label+1), merged across shards with one psum —
+            a key lives in exactly one shard (and the stash is gated to
+            shard 0), so per-shard labels are disjoint and add."""
+            canon, valid = device_pipeline.window_canonicals(words, vwords, k)
+            q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
+            d = jax.lax.axis_index(axis)
+            start = d * rpd + cycle * rpc
+            lab = radix_table.probe_chunk(
+                slots_blk, lab_blk.reshape(-1), sk, sl, q, start,
+                m1=m1, lb=lb, c=c,
+                use_stash=(d == 0) & (cycle == 0),
+            )
+            lab = jnp.where(valid.ravel(), lab, 0)
+            lab = jax.lax.psum(lab, axis)
+            return lab.reshape(valid.shape)
+
         if kind == "counts":
             f = local_counts
             out_specs = P()
+        elif kind == "classify_top2":
+            # non-extended fast path: skip the dense count matrix entirely
+            def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
+                lab = local_labels(
+                    slots_blk, lab_blk, sk, sl, words, vwords, cycle
+                )
+                total, ib, b_, isb, sb = score.top2_from_labels(lab)
+                return total, ib, b_, sb, jnp.zeros(
+                    (lab.shape[0], 0), jnp.int32
+                )
+
+            out_specs = (P(), P(), P(), P(), P())
         else:
 
             def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
@@ -224,12 +253,12 @@ class ShardedRadixTable:
         if self.n_cycles > 1:
             self._cur = None  # free HBM before the next cycle's upload
 
-    def classify(self, words, vwords):
+    def classify(self, words, vwords, extended=True):
         """Single-cycle full batch step: (total, ibest, best, sbest, counts),
         replicated on every device/process."""
         assert self.n_cycles == 1
         _, slots, labels, cyc = self._cur
-        return self._fn("classify")(
+        return self._fn("classify" if extended else "classify_top2")(
             slots, labels, self._sk, self._sl,
             self._replicated(words), self._replicated(vwords), cyc,
         )
@@ -257,23 +286,28 @@ def shard_reads(mesh: Mesh, table, n_targets: int, k: int):
     sl_d = jax.device_put(jnp.asarray(table.stash_labels), repl)
     meta = table.meta
 
-    def local_fn(slots, labels, sk, sl, words, vwords):
-        return device_pipeline.classify_batch(
-            slots, labels, sk, sl, words, vwords,
-            k=k, n_targets=n_targets, **meta,
-        )
+    jfns = {}
 
-    fn = shard_map(
-        local_fn,
-        mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-    )
-    jfn = jax.jit(fn)
+    def _jfn(extended: bool):
+        if extended not in jfns:
 
-    def batch_fn(words, vwords):
-        import numpy as np
+            def local_fn(slots, labels, sk, sl, words, vwords):
+                return device_pipeline.classify_batch(
+                    slots, labels, sk, sl, words, vwords,
+                    k=k, n_targets=n_targets, extended=extended, **meta,
+                )
 
+            jfns[extended] = jax.jit(
+                shard_map(
+                    local_fn,
+                    mesh,
+                    in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+                )
+            )
+        return jfns[extended]
+
+    def batch_fn(words, vwords, extended=True):
         r = (-words.shape[0]) % ndev
         if r:
             words = jnp.concatenate(
@@ -284,7 +318,7 @@ def shard_reads(mesh: Mesh, table, n_targets: int, k: int):
             )
         words = jax.device_put(words, rows)
         vwords = jax.device_put(vwords, rows)
-        return jfn(slots_d, lab_d, sk_d, sl_d, words, vwords)
+        return _jfn(extended)(slots_d, lab_d, sk_d, sl_d, words, vwords)
 
     return (slots_d, lab_d), batch_fn
 
