@@ -193,6 +193,184 @@ def exp_probe_u32(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
     )
 
 
+def exp_probe_bitcast(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
+    """u64 wide-row gather kept, but compares/label-extraction done on a
+    LOCAL bitcast to u32 pairs (v5e has no native 64-bit VPU lanes; u64
+    compare/shift are emulated as u32 pairs anyway — doing it explicitly lets
+    XLA skip the generic emulation)."""
+    from jn_cuclark_tpu.ops import radix_table
+
+    keys, labels1 = _make_keys(n_keys, k, T)
+    table = radix_table.build(keys, labels1, k=k)
+    q = _queries(keys, n_q)
+
+    slots = jnp.asarray(table.slots)
+    labels = jnp.asarray(table.labels)
+    sk = jnp.asarray(table.stash_keys)
+    sl = jnp.asarray(table.stash_labels)
+    qd = jnp.asarray(q)
+
+    p64 = jax.jit(
+        functools.partial(
+            radix_table.probe, m1=table.m1, lb=table.lb, c=table.slot_width
+        )
+    )
+    t64 = _timeit(p64, slots, labels, sk, sl, qd)
+    ref = p64(slots, labels, sk, sl, qd)
+
+    C = table.slot_width
+    m1, lb = table.m1, table.lb
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    labmask = np.uint32((1 << lb) - 1)
+
+    @jax.jit
+    def pbc(slots, sk, sl, q):
+        b = ((q * jnp.uint64(MIX)) >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        rows = slots[b]  # [Q, C] u64 — single gather, unchanged
+        r32 = jax.lax.bitcast_convert_type(rows, jnp.uint32)  # [Q, C, 2] LE
+        rlo, rhi = r32[..., 0], r32[..., 1]
+        qs = q << jnp.uint64(lb)
+        q32 = jax.lax.bitcast_convert_type(qs, jnp.uint32)  # [Q, 2]
+        qlo, qhi = q32[:, 0:1], q32[:, 1:2]
+        hit = (rhi == qhi) & ((rlo & ~labmask) == (qlo & ~labmask))
+        lab_mat = (rlo & labmask).astype(jnp.int32)
+        anyh = jnp.any(hit, axis=1)
+        lab = jnp.max(jnp.where(hit, lab_mat, 0), axis=1)
+        lab = jnp.where(anyh, lab, 0)
+        eq = q[:, None] == sk[None, :]
+        slab = jnp.max(jnp.where(eq, sl[None, :], 0), axis=1)
+        return jnp.maximum(lab, slab)
+
+    tbc = _timeit(pbc, slots, sk, sl, qd)
+    got = pbc(slots, sk, sl, qd)
+    return dict(
+        n_keys=len(keys), rows=table.slots.shape[0], C=C,
+        u64_ms=round(t64 * 1e3, 2),
+        bitcast_ms=round(tbc * 1e3, 2),
+        u64_mps=round(n_q / t64 / 1e6, 1),
+        bitcast_mps=round(n_q / tbc / 1e6, 1),
+        equal=bool(jnp.array_equal(ref, got)),
+    )
+
+
+def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
+                     tile=512, bufs=8):
+    """Pallas probe: per-query row DMA from HBM with a multi-buffered VMEM
+    ring (the VERDICT-requested attempt).  Expected to be DMA-issue bound —
+    measured either way so the design space is documented."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jn_cuclark_tpu.ops import radix_table
+
+    keys, labels1 = _make_keys(n_keys, k, T)
+    table = radix_table.build(keys, labels1, k=k)
+    q = _queries(keys, n_q)
+    qd = jnp.asarray(q)
+    slots = jnp.asarray(table.slots)
+    labels = jnp.asarray(table.labels)
+    sk = jnp.asarray(table.stash_keys)
+    sl = jnp.asarray(table.stash_labels)
+    C = table.slot_width
+    m1, lb = table.m1, table.lb
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    labmask = np.uint32((1 << lb) - 1)
+
+    def kernel(b_ref, qlo_ref, qhi_ref, out_ref, tbl_hbm, scratch, sems):
+        # queries of this tile are prefetched to VMEM; their rows are DMA'd
+        # one per query through a ring of `bufs` buffers
+        def issue(i, slot):
+            return pltpu.make_async_copy(
+                tbl_hbm.at[pl.ds(b_ref[i, 0], 1), :],
+                scratch.at[pl.ds(slot, 1), :],
+                sems.at[slot],
+            )
+
+        for w in range(bufs):
+            issue(w, w).start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, bufs)
+            issue(i, slot).wait()
+            row = scratch[pl.ds(slot, 1), :]  # [1, C] u32x2 view as 2C u32
+            rlo = row[0, 0::2]
+            rhi = row[0, 1::2]
+            hit = (rhi == qhi_ref[i, 0]) & (
+                (rlo & ~labmask) == (qlo_ref[i, 0] & ~labmask)
+            )
+            lab = jnp.max(jnp.where(hit, (rlo & labmask).astype(jnp.int32), 0))
+            out_ref[i, 0] = lab
+
+            @pl.when(i + bufs < tile)
+            def _():
+                issue(i + bufs, slot).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, tile, body, 0)
+
+    tbl32 = jax.lax.bitcast_convert_type(slots, jnp.uint32).reshape(
+        slots.shape[0], 2 * C
+    )
+
+    @jax.jit
+    def ppal(tbl32, q):
+        b = ((q * jnp.uint64(MIX)) >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        q32 = jax.lax.bitcast_convert_type(q << jnp.uint64(lb), jnp.uint32)
+        nq = q.shape[0]
+        grid = nq // tile
+        lab = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((bufs, 2 * C), jnp.uint32),
+                pltpu.SemaphoreType.DMA((bufs,)),
+            ],
+        )(b[:, None], q32[:, 0:1], q32[:, 1:2], tbl32)
+        return lab[:, 0]
+
+    # reference for equality (ignores stash, as does the kernel): compare
+    # against probe minus stash contribution
+    p64 = jax.jit(
+        functools.partial(
+            radix_table.probe, m1=table.m1, lb=table.lb, c=table.slot_width
+        )
+    )
+    t64 = _timeit(p64, slots, labels, sk, sl, qd)
+    try:
+        tp = _timeit(ppal, tbl32, qd, iters=2)
+        got = np.asarray(ppal(tbl32, qd))
+        sk0 = jnp.full_like(sk, radix_table.EMPTY)
+        ref = np.asarray(p64(slots, labels, sk0, sl, qd))
+        ok = bool(np.array_equal(got, ref))
+        err = None
+    except Exception as e:  # Mosaic lowering limits are a finding, not a crash
+        tp, ok, err = float("inf"), False, repr(e)[:300]
+    return dict(
+        n_keys=len(keys), rows=table.slots.shape[0], C=C, tile=tile, bufs=bufs,
+        u64_ms=round(t64 * 1e3, 2),
+        pallas_ms=round(tp * 1e3, 2) if np.isfinite(tp) else None,
+        u64_mps=round(n_q / t64 / 1e6, 1),
+        pallas_mps=round(n_q / tp / 1e6, 1) if np.isfinite(tp) else 0.0,
+        equal=ok,
+        error=err,
+    )
+
+
 def exp_gather_width(n_q=1 << 22):
     """Per-row gather cost vs row width at fixed big row count (2^20)."""
     rng = np.random.default_rng(0)
@@ -228,7 +406,10 @@ def exp_gather_width(n_q=1 << 22):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("exp", choices=["counts", "probe32", "gatherw", "all"])
+    ap.add_argument(
+        "exp",
+        choices=["counts", "probe32", "bitcast", "pallas", "gatherw", "all"],
+    )
     args = ap.parse_args()
     import json
 
@@ -239,6 +420,10 @@ def main():
               json.dumps(exp_counts(T=3)))
     if args.exp in ("probe32", "all"):
         print("probe u64 vs u32:", json.dumps(exp_probe_u32()))
+    if args.exp in ("bitcast", "all"):
+        print("probe u64 vs bitcast-compare:", json.dumps(exp_probe_bitcast()))
+    if args.exp in ("pallas", "all"):
+        print("probe u64 vs pallas DMA:", json.dumps(exp_probe_pallas()))
     if args.exp in ("gatherw", "all"):
         print("gather width:", json.dumps(exp_gather_width(), indent=1))
 

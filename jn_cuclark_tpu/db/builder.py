@@ -195,20 +195,34 @@ def aggregate(
         if np.all(v == 1):
             count = np.minimum(gsize, 254)
         else:
-            gid = np.repeat(np.arange(ngroups), gsize)
-            count = _saturating_group_sum(gid, v, ngroups)
+            count = _saturating_group_sum(np.append(first_idx, n), v)
     else:
         count = np.add.reduceat(v, first_idx) if n else np.zeros(0, np.int64)
 
     return c[first_idx], L0, mult, count, order[first_idx]
 
 
-def _saturating_group_sum(gid, v, ngroups):
-    """lElement.AddToCount: add only while the 8-bit counter stays < 255."""
-    out = np.zeros(ngroups, dtype=np.int64)
-    for g, val in zip(gid, v):
-        if out[g] + val < 255:
-            out[g] += val
+def _saturating_group_sum(bounds: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """lElement.AddToCount (dataType.hh:333-334): each occurrence's count is
+    added only while the 8-bit counter stays < 255.  Order-dependent within a
+    group, so it cannot be a plain reduction; native C++ when available,
+    otherwise only the (rare) groups whose unsaturated total reaches 255 take
+    the sequential path."""
+    from ..utils import native
+
+    ngroups = len(bounds) - 1
+    if ngroups <= 0:
+        return np.zeros(0, np.int64)
+    if native.available():
+        return native.saturating_group_sum(bounds, v)
+    first_idx = bounds[:-1]
+    out = np.add.reduceat(v, first_idx).astype(np.int64)
+    for g in np.nonzero(out >= 255)[0]:
+        s = 0
+        for val in v[bounds[g] : bounds[g + 1]]:
+            if s + val < 255:
+                s += val
+        out[g] = s
     return out
 
 

@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .io import dbformat
-from .io.fasta import ReadSet, merge_paired, parse_reads, window_starts
+from .io.fasta import (
+    ReadSet,
+    iter_merged_slabs,
+    iter_record_slabs,
+    parse_reads,
+    window_starts,
+)
 from .io.targets import TargetsDef, parse_targets
 from .kmer import canonical_u64, window_values_le
 from .ops import device_pipeline, lookup, pack, radix_table, score
@@ -287,27 +293,34 @@ class Classifier:
         paired_path: str | None = None,
         extended: bool = False,
         verbose: bool = False,
+        slab_bytes: int = 1 << 28,
     ) -> dict:
         """Classify a file (or paired files) to `<result_path>.csv`.
 
-        Returns speed stats (reads, seconds, reads_per_min), mirroring
-        printSpeedStats (CuCLARK_hh.hh:1932-1939).
+        The input is memory-mapped and streamed in record-aligned slabs of
+        ~slab_bytes, so inputs far larger than host RAM classify with a flat
+        memory profile (the reference mmaps too, CuCLARK_hh.hh:522-539, but
+        materializes all batches); paired FASTQ merges through the native
+        chunked merger (file.cc:205-268).  Returns speed stats
+        (reads, seconds, reads_per_min), mirroring printSpeedStats
+        (CuCLARK_hh.hh:1932-1939).
         """
-        with open(objects_path, "rb") as f:
-            data = f.read()
         paired = paired_path is not None
         if paired:
-            with open(paired_path, "rb") as f:
-                data2 = f.read()
-            data = merge_paired(data, data2)
+            slabs = iter_merged_slabs(objects_path, paired_path, slab_bytes)
+        else:
+            slabs = iter_record_slabs(objects_path, slab_bytes)
 
         t0 = time.time()
-        gen, n_reads = self.classify_bytes(data, paired=paired, extended=extended)
+        n_reads = 0
         out = result_path + ".csv"
         with open(out, "wb") as f:
             f.write(self._header(extended))
-            for chunk in gen:
-                f.write(chunk)
+            for slab in slabs:
+                gen, nr = self.classify_bytes(slab, paired=paired, extended=extended)
+                for chunk in gen:
+                    f.write(chunk)
+                n_reads += nr
         dt = time.time() - t0
         stats = {
             "reads": n_reads,

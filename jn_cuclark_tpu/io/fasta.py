@@ -23,6 +23,7 @@ Semantics reproduced exactly:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -191,12 +192,91 @@ def window_starts(rs: ReadSet, k: int) -> tuple[np.ndarray, np.ndarray]:
     return starts[ok], rid[ok]
 
 
+def iter_record_slabs(path: str, slab_bytes: int = 1 << 28):
+    """Yield record-aligned byte slabs of a FASTA/FASTQ file.
+
+    Streams a memory-mapped file in ~slab_bytes pieces cut at record
+    boundaries (FASTA: before a '>' header line; FASTQ: at a line index
+    divisible by 4), so classification of arbitrarily large inputs runs in
+    O(slab) host memory — the bounded-memory counterpart of the reference's
+    whole-file mmap scan (CuCLARK_hh.hh:522-539).  A single record larger
+    than slab_bytes widens that slab only.
+    """
+    import mmap
+
+    with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
+        if size == 0:
+            raise ValueError("empty input file")
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            first = mm[0:1]
+            if first not in (b">", b"@"):
+                raise ValueError("failed to recognize the format of the file")
+            is_fq = first == b"@"
+            n = len(mm)
+            pos = 0
+            while pos < n:
+                want = slab_bytes
+                while True:
+                    end = min(pos + want, n)
+                    if end == n:
+                        cut = n
+                        break
+                    buf = np.frombuffer(mm, np.uint8, count=end - pos, offset=pos)
+                    nl = np.nonzero(buf == ord("\n"))[0]
+                    if is_fq:
+                        # pos is always at line-phase 0; cut after the last
+                        # newline completing a 4-line record
+                        cand = nl[3::4]
+                    else:
+                        after = nl[nl + 1 < len(buf)] + 1
+                        cand = after[buf[after] == ord(">")] - 1
+                    del buf  # release the mmap view so close() succeeds
+                    if len(cand):
+                        cut = pos + int(cand[-1]) + 1
+                        break
+                    want *= 2  # record larger than the slab: widen
+                yield bytes(mm[pos:cut])
+                pos = cut
+
+
+def iter_merged_slabs(path1: str, path2: str, slab_bytes: int = 1 << 28):
+    """Yield merged-FASTA slabs of two paired FASTQ files (file.cc:205-268
+    semantics) in O(slab) memory via the native chunked merger; falls back to
+    a whole-file Python merge when the native library is unavailable."""
+    import mmap
+
+    from ..utils import native as _native
+
+    if not _native.available():
+        with open(path1, "rb") as f1, open(path2, "rb") as f2:
+            yield merge_paired(f1.read(), f2.read())
+        return
+    with open(path1, "rb") as f1, open(path2, "rb") as f2:
+        for p in (path1, path2):
+            if os.path.getsize(p) == 0:
+                raise ValueError("empty input file")
+        with mmap.mmap(f1.fileno(), 0, access=mmap.ACCESS_READ) as m1, \
+                mmap.mmap(f2.fileno(), 0, access=mmap.ACCESS_READ) as m2:
+            yield from _native.merge_paired_stream(m1, m2, slab_bytes)
+
+
 def merge_paired(data1: bytes, data2: bytes) -> bytes:
     """Interleave two FASTQ files into one in-memory FASTA with mates joined
     by 'N' (reference file.cc:205-268).  Name = first token of the header
     split on space, '/', tab or '@'."""
     if not data1.startswith(b"@") or not data2.startswith(b"@"):
         raise ValueError("paired-end reads must be FASTQ files")
+    from ..utils import native as _native
+
+    if _native.available():
+        return b"".join(_native.merge_paired_stream(data1, data2))
+    return _merge_paired_py(data1, data2)
+
+
+def _merge_paired_py(data1: bytes, data2: bytes) -> bytes:
+    """Pure-Python reference merge (slow, whole-buffer); the native chunked
+    merger is byte-parity-tested against it."""
     lines1 = data1.split(b"\n")
     lines2 = data2.split(b"\n")
     out = []

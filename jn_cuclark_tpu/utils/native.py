@@ -169,6 +169,58 @@ def format_rows(
     return out.raw[:w]
 
 
+# ---------------------------------------------------------- paired-end merge
+def _ensure_merge_sigs(lib):
+    if getattr(lib, "_merge_sigs", False):
+        return
+    lib.merge_paired_chunk.restype = ctypes.c_int64
+    lib.merge_paired_chunk.argtypes = [
+        _U8P, ctypes.c_int64, _U8P, ctypes.c_int64, _I64P, _I64P,
+        _U8P, ctypes.c_int64, _I32P,
+    ]
+    lib._merge_sigs = True
+
+
+def merge_paired_stream(data1, data2, chunk_cap: int = 1 << 28):
+    """Yield merged-FASTA chunks of two FASTQ buffers (file.cc:205-268
+    semantics) through a bounded native buffer; data1/data2 may be mmaps, so
+    a multi-GB pair merges with O(chunk_cap) memory."""
+    lib = _load()
+    _ensure_merge_sigs(lib)
+    a1, dp1 = _u8(data1)
+    a2, dp2 = _u8(data2)
+    try:
+        n1, n2 = len(a1), len(a2)
+        if a1[:1].tobytes() != b"@" or a2[:1].tobytes() != b"@":
+            raise ValueError("paired-end reads must be FASTQ files")
+        pos = np.zeros(2, dtype=np.int64)
+        status = np.zeros(1, dtype=np.int32)
+        cap = int(chunk_cap)
+        out = np.empty(cap, dtype=np.uint8)
+        while True:
+            w = lib.merge_paired_chunk(
+                dp1, n1, dp2, n2,
+                _p(pos[0:1], _I64P), _p(pos[1:2], _I64P),
+                _p(out, _U8P), cap, _p(status, _I32P),
+            )
+            st = int(status[0])
+            if st == -1:
+                raise ValueError("read id does not match between files")
+            if st == -2:  # a single record exceeds cap
+                cap *= 2
+                out = np.empty(cap, dtype=np.uint8)
+                continue
+            if w:
+                yield out[:w].tobytes()
+            if st == 0:
+                return
+    finally:
+        # drop the buffer views before the caller's mmap close; an exception's
+        # traceback keeps this frame alive, and exported views make
+        # mmap.close() raise BufferError, masking the real error
+        del a1, a2, dp1, dp2
+
+
 # ------------------------------------------------------------- DB build ops
 def _ensure_build_sigs(lib):
     if getattr(lib, "_build_sigs", False):
@@ -185,6 +237,8 @@ def _ensure_build_sigs(lib):
         _U64P, _I32P, ctypes.c_int64, _I32P, ctypes.c_int32,
         _U64P, _I32P, _I32P, _I64P, _I64P, _I64P,
     ]
+    lib.saturating_group_sum.restype = None
+    lib.saturating_group_sum.argtypes = [_I64P, ctypes.c_int64, _I64P, _I64P]
     lib._build_sigs = True
 
 
@@ -209,6 +263,20 @@ def argsort_u64(keys: np.ndarray) -> np.ndarray:
     idx = np.empty(len(keys), np.int64)
     lib.argsort_u64(_p(keys, _U64P), len(keys), _p(idx, _I64P))
     return idx
+
+
+def saturating_group_sum(bounds: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Per-group lElement.AddToCount saturating sums (dataType.hh:333-334);
+    group g spans v[bounds[g]:bounds[g+1]]."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    bounds = np.ascontiguousarray(bounds, np.int64)
+    v = np.ascontiguousarray(v, np.int64)
+    ngroups = len(bounds) - 1
+    out = np.empty(max(ngroups, 1), np.int64)
+    lib.saturating_group_sum(_p(bounds, _I64P), ngroups, _p(v, _I64P),
+                             _p(out, _I64P))
+    return out[:ngroups]
 
 
 def aggregate_occurrences(canon, label, pg, lelement: bool):

@@ -228,6 +228,91 @@ int64_t format_rows_extended(const uint8_t* data,
   return w;
 }
 
+// ------------------------------------------------------- paired-end merge
+//
+// Chunked equivalent of the reference's mergePairedFiles (file.cc:205-268):
+// both FASTQ files advance line-by-line in lockstep; whenever line i of both
+// starts with '@', the first name token (separators " /\t@") must match and
+// the record becomes ">name\nseq1" "N" "seq2\n"; otherwise both advance one
+// line.  Processes whole records while they fit in out; *p1/*p2 are byte
+// offsets of the current line and are updated so the caller can stream a
+// multi-GB merge through a bounded buffer.
+// status: 0 = reached EOF, 1 = out full (call again), -1 = read-id mismatch,
+//         -2 = a single record exceeds cap (caller grows).
+
+static inline bool is_merge_sep(uint8_t c) {
+  return c == ' ' || c == '/' || c == '\t' || c == '@';
+}
+
+// [start, end) of the line beginning at p (end excludes '\n')
+static inline int64_t line_end(const uint8_t* d, int64_t n, int64_t p) {
+  while (p < n && d[p] != '\n') ++p;
+  return p;
+}
+
+int64_t merge_paired_chunk(const uint8_t* d1, int64_t n1,
+                           const uint8_t* d2, int64_t n2,
+                           int64_t* p1, int64_t* p2,
+                           uint8_t* out, int64_t cap, int32_t* status) {
+  int64_t i1 = *p1, i2 = *p2;
+  int64_t w = 0;
+  *status = 0;
+  while (i1 < n1 && i2 < n2) {
+    int64_t e1 = line_end(d1, n1, i1);
+    int64_t e2 = line_end(d2, n2, i2);
+    // "i + 1 < n": a next line must exist in both files
+    if (e1 >= n1 || e2 >= n2) break;
+    if (i1 < e1 && i2 < e2 && d1[i1] == '@' && d2[i2] == '@') {
+      // first token of each header
+      int64_t t1s = i1;
+      while (t1s < e1 && is_merge_sep(d1[t1s])) ++t1s;
+      int64_t t1e = t1s;
+      while (t1e < e1 && !is_merge_sep(d1[t1e])) ++t1e;
+      int64_t t2s = i2;
+      while (t2s < e2 && is_merge_sep(d2[t2s])) ++t2s;
+      int64_t t2e = t2s;
+      while (t2e < e2 && !is_merge_sep(d2[t2e])) ++t2e;
+      if (t1e - t1s != t2e - t2s ||
+          memcmp(d1 + t1s, d2 + t2s, t1e - t1s) != 0) {
+        *status = -1;
+        *p1 = i1;
+        *p2 = i2;
+        return w;
+      }
+      int64_t s1s = e1 + 1, s1e = line_end(d1, n1, s1s);
+      int64_t s2s = e2 + 1, s2e = line_end(d2, n2, s2s);
+      int64_t need = 2 + (t1e - t1s) + (s1e - s1s) + 1 + (s2e - s2s) + 1;
+      if (w + need > cap) {
+        *status = (w == 0) ? -2 : 1;
+        *p1 = i1;
+        *p2 = i2;
+        return w;
+      }
+      out[w++] = '>';
+      memcpy(out + w, d1 + t1s, t1e - t1s);
+      w += t1e - t1s;
+      out[w++] = '\n';
+      memcpy(out + w, d1 + s1s, s1e - s1s);
+      w += s1e - s1s;
+      out[w++] = 'N';
+      memcpy(out + w, d2 + s2s, s2e - s2s);
+      w += s2e - s2s;
+      out[w++] = '\n';
+      // advance 4 lines in both files
+      i1 = s1e + 1;
+      for (int t = 0; t < 2 && i1 <= n1; t++) i1 = line_end(d1, n1, i1) + 1;
+      i2 = s2e + 1;
+      for (int t = 0; t < 2 && i2 <= n2; t++) i2 = line_end(d2, n2, i2) + 1;
+    } else {
+      i1 = e1 + 1;
+      i2 = e2 + 1;
+    }
+  }
+  *p1 = i1;
+  *p2 = i2;
+  return w;
+}
+
 }  // extern "C"
 
 // ----------------------------------------------------------- DB construction
@@ -395,6 +480,23 @@ int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
     }
   }
   return ng + 1;
+}
+
+// lElement::AddToCount saturation (dataType.hh:333-334): each occurrence's
+// count is added only while the running 8-bit counter stays below 255.
+// Groups are contiguous: group g spans [bounds[g], bounds[g+1]).
+void saturating_group_sum(const int64_t* bounds, int64_t ngroups,
+                          const int64_t* v, int64_t* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t g = 0; g < ngroups; g++) {
+    int64_t s = 0;
+    for (int64_t i = bounds[g]; i < bounds[g + 1]; i++) {
+      if (s + v[i] < 255) s += v[i];
+    }
+    out[g] = s;
+  }
 }
 
 }  // extern "C"

@@ -198,3 +198,39 @@ def test_device_aggregation_matches_host(toy):
             os.path.join(d2, stem + ext), "rb"
         ) as b:
             assert a.read() == b.read(), ext
+
+
+def test_saturating_group_sum_paths():
+    """Native, vectorized-fallback, and brute-force saturating sums agree
+    (lElement.AddToCount, dataType.hh:333-334)."""
+    import numpy as np
+
+    from jn_cuclark_tpu.db.builder import _saturating_group_sum
+    from jn_cuclark_tpu.utils import native
+
+    rng = np.random.default_rng(5)
+    sizes = rng.integers(1, 40, size=200)
+    bounds = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    n = int(bounds[-1])
+    v = rng.integers(1, 120, size=n).astype(np.int64)  # many groups saturate
+
+    def brute(bounds, v):
+        out = np.zeros(len(bounds) - 1, np.int64)
+        for g in range(len(bounds) - 1):
+            s = 0
+            for val in v[bounds[g] : bounds[g + 1]]:
+                if s + val < 255:
+                    s += val
+            out[g] = s
+        return out
+
+    want = brute(bounds, v)
+    assert np.array_equal(_saturating_group_sum(bounds, v), want)
+    if native.available():
+        assert np.array_equal(native.saturating_group_sum(bounds, v), want)
+    # force the numpy fallback path too
+    import unittest.mock as mock
+
+    with mock.patch.object(native, "available", return_value=False):
+        assert np.array_equal(_saturating_group_sum(bounds, v), want)
+    assert (want >= 255).sum() == 0 and (want >= 200).sum() > 0

@@ -1,0 +1,176 @@
+"""Streaming ingestion: record-aligned slab iteration, native chunked
+paired-end merge, and bounded-memory classify_file parity (VERDICT r1 #5;
+reference mmap scan CuCLARK_hh.hh:522-539, mergePairedFiles file.cc:205-268).
+"""
+
+import numpy as np
+import pytest
+
+from jn_cuclark_tpu.engine import Classifier
+from jn_cuclark_tpu.io.fasta import (
+    _merge_paired_py,
+    iter_merged_slabs,
+    iter_record_slabs,
+    merge_paired,
+)
+from jn_cuclark_tpu.utils import native
+
+from .test_builder import rand_seq
+from .test_engine import K, setup  # noqa: F401  (fixture)
+
+
+def _write(tmp_path, name, data: bytes):
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+def make_fasta(rng, n_reads, minlen=20, maxlen=200) -> bytes:
+    out = []
+    for i in range(n_reads):
+        seq = rand_seq(rng, int(rng.integers(minlen, maxlen)))
+        out.append(f">r{i} desc\n")
+        # multi-line records exercise mid-record cuts
+        for j in range(0, len(seq), 37):
+            out.append(seq[j : j + 37] + "\n")
+    return "".join(out).encode()
+
+
+def make_fastq(rng, n_reads, minlen=20, maxlen=200) -> bytes:
+    out = []
+    for i in range(n_reads):
+        seq = rand_seq(rng, int(rng.integers(minlen, maxlen)))
+        out.append(f"@r{i}/1\n{seq}\n+\n{'I' * len(seq)}\n")
+    return "".join(out).encode()
+
+
+@pytest.mark.parametrize("kind", ["fasta", "fastq"])
+@pytest.mark.parametrize("slab", [256, 4096, 1 << 20])
+def test_slab_iteration_reassembles(tmp_path, kind, slab):
+    rng = np.random.default_rng(7)
+    data = make_fasta(rng, 40) if kind == "fasta" else make_fastq(rng, 40)
+    path = _write(tmp_path, f"in.{kind}", data)
+    slabs = list(iter_record_slabs(path, slab_bytes=slab))
+    assert b"".join(slabs) == data
+    first = b">" if kind == "fasta" else b"@"
+    for s in slabs:
+        assert s[:1] == first  # every slab begins at a record boundary
+    if slab == 256:
+        assert len(slabs) > 5  # actually streamed
+
+
+def test_slab_iteration_record_bigger_than_slab(tmp_path):
+    rng = np.random.default_rng(8)
+    big = rand_seq(rng, 5000)
+    data = (
+        f">a\n{big}\n>b\nACGT\n>c\n{big}\n".encode()
+    )
+    path = _write(tmp_path, "big.fa", data)
+    slabs = list(iter_record_slabs(path, slab_bytes=128))
+    assert b"".join(slabs) == data
+    for s in slabs:
+        assert s[:1] == b">"
+
+
+def test_slab_iteration_fastq_truncated_tail(tmp_path):
+    """A truncated trailing record stays in the final slab (EOF cut)."""
+    rng = np.random.default_rng(9)
+    data = make_fastq(rng, 9) + b"@tail\nACGTACGT"  # no +/quality lines
+    path = _write(tmp_path, "trunc.fq", data)
+    slabs = list(iter_record_slabs(path, slab_bytes=200))
+    assert b"".join(slabs) == data
+
+
+def test_slab_iteration_errors(tmp_path):
+    p = _write(tmp_path, "empty.fa", b"")
+    with pytest.raises(ValueError, match="empty input file"):
+        next(iter_record_slabs(p))
+    p = _write(tmp_path, "bad.txt", b"not a fasta\n")
+    with pytest.raises(ValueError, match="format"):
+        next(iter_record_slabs(p))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+@pytest.mark.parametrize("chunk", [64, 1024, 1 << 20])
+def test_native_merge_matches_python(chunk):
+    rng = np.random.default_rng(10)
+    r = [(f"p{i}", rand_seq(rng, int(rng.integers(30, 120)))) for i in range(25)]
+    fq1 = "".join(f"@{n}/1 x\n{s}\n+\n{'I'*len(s)}\n" for n, s in r).encode()
+    fq2 = "".join(f"@{n}/2\n{s[::-1]}\n+\n{'I'*len(s)}\n" for n, s in r).encode()
+    want = _merge_paired_py(fq1, fq2)
+    got = b"".join(native.merge_paired_stream(fq1, fq2, chunk_cap=chunk))
+    assert got == want
+    if chunk == 64:
+        assert len(list(native.merge_paired_stream(fq1, fq2, chunk_cap=64))) > 3
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_merge_edge_cases():
+    # trailing newline / missing trailing newline / extra non-@ lines
+    fq1 = b"@a/1\nACGT\n+\nIIII\n@b/1\nGGGG\n+\nIIII"
+    fq2 = b"@a/2\nTTTT\n+\nIIII\n@b/2\nCCCC\n+\nIIII"
+    assert b"".join(native.merge_paired_stream(fq1, fq2)) == _merge_paired_py(
+        fq1, fq2
+    )
+    # id mismatch raises like the python path
+    bad = b"@zzz/2\nTTTT\n+\nIIII\n"
+    with pytest.raises(ValueError, match="read id"):
+        b"".join(native.merge_paired_stream(fq1[:17], bad))
+    with pytest.raises(ValueError, match="FASTQ"):
+        b"".join(native.merge_paired_stream(b">fa\nACGT\n", fq2))
+
+
+def test_merge_paired_dispatch_parity():
+    """merge_paired (native when available) == pure python on the same input."""
+    rng = np.random.default_rng(11)
+    r = [(f"q{i}", rand_seq(rng, 50)) for i in range(8)]
+    fq1 = "".join(f"@{n}\n{s}\n+\n{'I'*len(s)}\n" for n, s in r).encode()
+    fq2 = "".join(f"@{n}\n{s}\n+\n{'I'*len(s)}\n" for n, s in r).encode()
+    assert merge_paired(fq1, fq2) == _merge_paired_py(fq1, fq2)
+
+
+def test_classify_file_streaming_parity(setup, tmp_path):  # noqa: F811
+    """classify_file output is independent of slab size (streamed == whole)."""
+    dbdir, tpath, prof, targets, genomes, reads = setup
+    clf = Classifier.load(str(dbdir), targets, prof, K)
+    obj = tmp_path / "reads.fa"
+    with open(obj, "w") as f:
+        for n, s in reads:
+            f.write(f">{n}\n{s}\n")
+    a = tmp_path / "whole"
+    b = tmp_path / "slabbed"
+    sa = clf.classify_file(str(obj), str(a))
+    sb = clf.classify_file(str(obj), str(b), slab_bytes=512)
+    assert sa["reads"] == sb["reads"] == len(reads)
+    assert (tmp_path / "whole.csv").read_bytes() == (
+        tmp_path / "slabbed.csv"
+    ).read_bytes()
+
+
+def test_classify_file_paired_streaming_parity(setup, tmp_path):  # noqa: F811
+    dbdir, tpath, prof, targets, genomes, reads = setup
+    clf = Classifier.load(str(dbdir), targets, prof, K)
+    g1 = genomes["g1"]
+    r1 = [(f"p{i}", g1[i * 10 : i * 10 + 80]) for i in range(12)]
+    r2 = [(f"p{i}", g1[i * 10 + 100 : i * 10 + 180]) for i in range(12)]
+    f1 = tmp_path / "r1.fq"
+    f2 = tmp_path / "r2.fq"
+    f1.write_text("".join(f"@{n}/1\n{s}\n+\n{'I'*len(s)}\n" for n, s in r1))
+    f2.write_text("".join(f"@{n}/2\n{s}\n+\n{'I'*len(s)}\n" for n, s in r2))
+    a = tmp_path / "pw"
+    b = tmp_path / "ps"
+    sa = clf.classify_file(str(f1), str(a), paired_path=str(f2))
+    sb = clf.classify_file(str(f1), str(b), paired_path=str(f2), slab_bytes=256)
+    assert sa["reads"] == sb["reads"] == 12
+    assert (tmp_path / "pw.csv").read_bytes() == (tmp_path / "ps.csv").read_bytes()
+
+
+def test_iter_merged_slabs_parity(tmp_path):
+    rng = np.random.default_rng(12)
+    r = [(f"m{i}", rand_seq(rng, 60)) for i in range(10)]
+    fq1 = "".join(f"@{n}/1\n{s}\n+\n{'I'*len(s)}\n" for n, s in r).encode()
+    fq2 = "".join(f"@{n}/2\n{s}\n+\n{'I'*len(s)}\n" for n, s in r).encode()
+    p1 = _write(tmp_path, "m1.fq", fq1)
+    p2 = _write(tmp_path, "m2.fq", fq2)
+    got = b"".join(iter_merged_slabs(p1, p2, slab_bytes=128))
+    assert got == _merge_paired_py(fq1, fq2)
