@@ -165,10 +165,11 @@ def exp_probe_u32(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
 
     @jax.jit
     def p32(tbl32, sk, sl, q):
-        b = ((q * jnp.uint64(MIX)) >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        mixed = q * jnp.uint64(MIX)
+        b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
         rows = tbl32[b]  # [Q, 2C] u32
         rhi, rlo = rows[:, :C], rows[:, C:]
-        qs = q << jnp.uint64(lb)
+        qs = (mixed & jnp.uint64((1 << (64 - m1)) - 1)) << jnp.uint64(lb)
         qhi = (qs >> jnp.uint64(32)).astype(jnp.uint32)
         qlo = (qs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         labmask = jnp.uint32((1 << lb) - 1)
@@ -225,11 +226,12 @@ def exp_probe_bitcast(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
 
     @jax.jit
     def pbc(slots, sk, sl, q):
-        b = ((q * jnp.uint64(MIX)) >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        mixed = q * jnp.uint64(MIX)
+        b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
         rows = slots[b]  # [Q, C] u64 — single gather, unchanged
         r32 = jax.lax.bitcast_convert_type(rows, jnp.uint32)  # [Q, C, 2] LE
         rlo, rhi = r32[..., 0], r32[..., 1]
-        qs = q << jnp.uint64(lb)
+        qs = (mixed & jnp.uint64((1 << (64 - m1)) - 1)) << jnp.uint64(lb)
         q32 = jax.lax.bitcast_convert_type(qs, jnp.uint32)  # [Q, 2]
         qlo, qhi = q32[:, 0:1], q32[:, 1:2]
         hit = (rhi == qhi) & ((rlo & ~labmask) == (qlo & ~labmask))
@@ -279,8 +281,9 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
     labmask = np.uint32((1 << lb) - 1)
 
     def kernel(b_ref, qlo_ref, qhi_ref, out_ref, tbl_hbm, scratch, sems):
-        # queries of this tile are prefetched to VMEM; their rows are DMA'd
-        # one per query through a ring of `bufs` buffers
+        # queries of this tile are staged in SMEM; each query's [lo | hi] u32
+        # row (Mosaic has no 64-bit vectors) is DMA'd through a ring of
+        # `bufs` buffers
         def issue(i, slot):
             return pltpu.make_async_copy(
                 tbl_hbm.at[pl.ds(b_ref[i, 0], 1), :],
@@ -294,9 +297,9 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
         def body(i, _):
             slot = jax.lax.rem(i, bufs)
             issue(i, slot).wait()
-            row = scratch[pl.ds(slot, 1), :]  # [1, C] u32x2 view as 2C u32
-            rlo = row[0, 0::2]
-            rhi = row[0, 1::2]
+            row = scratch[pl.ds(slot, 1), :]  # [1, 2C]
+            rlo = row[:, :C]
+            rhi = row[:, C:]
             hit = (rhi == qhi_ref[i, 0]) & (
                 (rlo & ~labmask) == (qlo_ref[i, 0] & ~labmask)
             )
@@ -311,14 +314,15 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
 
         jax.lax.fori_loop(0, tile, body, 0)
 
-    tbl32 = jax.lax.bitcast_convert_type(slots, jnp.uint32).reshape(
-        slots.shape[0], 2 * C
-    )
+    t32 = jax.lax.bitcast_convert_type(slots, jnp.uint32)  # [n, C, 2] LE
+    tbl32 = jnp.concatenate([t32[..., 0], t32[..., 1]], axis=1)  # [n, 2C]
 
     @jax.jit
     def ppal(tbl32, q):
-        b = ((q * jnp.uint64(MIX)) >> jnp.uint64(64 - m1)).astype(jnp.int32)
-        q32 = jax.lax.bitcast_convert_type(q << jnp.uint64(lb), jnp.uint32)
+        mixed = q * jnp.uint64(MIX)
+        b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        qs = (mixed & jnp.uint64((1 << (64 - m1)) - 1)) << jnp.uint64(lb)
+        q32 = jax.lax.bitcast_convert_type(qs, jnp.uint32)
         nq = q.shape[0]
         grid = nq // tile
         lab = pl.pallas_call(
@@ -326,15 +330,15 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
+                                   memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((nq, 1), jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((bufs, 2 * C), jnp.uint32),
@@ -352,14 +356,18 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
     )
     t64 = _timeit(p64, slots, labels, sk, sl, qd)
     try:
-        tp = _timeit(ppal, tbl32, qd, iters=2)
-        got = np.asarray(ppal(tbl32, qd))
+        tp = _timeit(ppal, tbl_lo, tbl_hi, qd, iters=2)
+        got = np.asarray(ppal(tbl_lo, tbl_hi, qd))
         sk0 = jnp.full_like(sk, radix_table.EMPTY)
         ref = np.asarray(p64(slots, labels, sk0, sl, qd))
         ok = bool(np.array_equal(got, ref))
         err = None
     except Exception as e:  # Mosaic lowering limits are a finding, not a crash
-        tp, ok, err = float("inf"), False, repr(e)[:300]
+        import traceback
+
+        tb = traceback.format_exc().splitlines()
+        tp, ok = float("inf"), False
+        err = (repr(e) + " @ " + " | ".join(tb[-4:]))[:500]
     return dict(
         n_keys=len(keys), rows=table.slots.shape[0], C=C, tile=tile, bufs=bufs,
         u64_ms=round(t64 * 1e3, 2),

@@ -11,20 +11,24 @@ ONE wide row gather:
   * single level: [n1, C] uint64 slots, bucket = top m1 bits of an odd-
     multiplier Fibonacci mix of the canonical value (C=128 slots/bucket at
     load ~56 — ~20B/key, measured optimum on v5e)
-  * label packing: canonical values use 2k bits < 64, so when
-    2k + ceil(log2(T+2)) <= 64 the label is stored in the slot's low bits
-    and the whole lookup is one gather (always true for the light profile's
-    k=27 with <= ~1000 targets; k=31 with many targets falls back to a flat
-    uint32 label array + one scalar gather)
+  * quotient storage: the mix (odd-multiplier mod 2^64) is a BIJECTION, so a
+    slot only needs the mixed value's low 64-m1 bits — the bucket index
+    supplies the rest.  This is the reference's own quotient/remainder trick
+    (it stores quotient = kmer / HTSIZE keyed by remainder,
+    hashTable_hh.hh:473-546) recast for power-of-2 buckets.  The freed m1
+    bits hold the label: slot = (mixed_lo << lb) | (label+1), and EVERY
+    configuration (any k, up to the reference's 65535-target MTRGTS cap) is
+    a single-gather lookup — no separate label array.
   * stash: build-time bucket overflow (~1e-6 of keys at load 4.5) goes to a
     tiny replicated stash (<= 64 entries) checked with a broadcast compare —
     VPU work, no gather; if the stash would overflow, the table is rebuilt
     one bit larger
 
-Empty slots are all-ones (no canonical value has all key bits set — the
-canonical of a window is strictly < 4^k - 1 because a value and its
-reverse-complement cannot both be maximal), so padded queries and misses
-resolve to label 0 ("NA"), matching the engine's miss convention.
+Empty slots are all-ones.  No false hits: lb < m1 makes EMPTY >> lb wider
+than any 64-m1-bit query quotient, the all-ones label field is reserved
+(lb sized for maxlabel+2), and bijectivity means a padded/invalid query
+(canonical = EMPTY, never a real k-mer value) cannot collide with a stored
+key — so misses resolve to label 0 ("NA"), the engine's miss convention.
 
 This replaces the reference's bucketed quotient/remainder probe
 (CuClarkDB.cu:1189-1254) as the in-memory layout only; the on-disk format is
@@ -118,7 +122,10 @@ def plan_table(
     """Choose (m1, lb, c) and the overflow stash for a key set.
 
     Pure function of its inputs: independent processes planning the same DB
-    agree bit-for-bit (required for multi-host sharding)."""
+    agree bit-for-bit (required for multi-host sharding).  `k` is accepted
+    for API stability but unused: quotient storage packs the label for every
+    key width (see module docstring)."""
+    del k
     keys = np.asarray(keys, dtype=np.uint64)
     labels1 = np.asarray(labels1, dtype=np.int32)
     n = max(len(keys), 1)
@@ -127,15 +134,13 @@ def plan_table(
     if load is None:
         load = c * 0.44  # ~2.3 slots per key
     maxlab = int(labels1.max()) if len(labels1) else 1
-    lb = 0
-    if k is not None:
-        need = max(int(np.ceil(np.log2(maxlab + 1))), 1)
-        if 2 * k + need <= 64:
-            lb = 64 - 2 * k  # use all free bits so the key compare is a shift
-            # (label values still must fit)
-            if maxlab >= (1 << lb):
-                lb = 0
+    # label bits: the all-ones field is reserved so a valid slot never equals
+    # EMPTY, hence maxlab + 2 values must fit
+    lb = max(int(np.ceil(np.log2(maxlab + 2))), 2)
     m1 = max(int(np.ceil(np.log2(max(n / load, 1.0)))), 1)
+    # lb < m1 keeps slot bits within 64 AND makes EMPTY >> lb wider than any
+    # (64 - m1)-bit quotient, so EMPTY slots can never satisfy the compare
+    m1 = max(m1, lb + 1)
     while True:
         b, rank = _bucket_ranks(keys, m1)
         ovf = rank >= c
@@ -162,9 +167,11 @@ def fill_rows(
 ):
     """Materialize rows [row_start, row_end) of the planned table.
 
-    Returns (slots [rows, c] uint64, labels) where labels is the parallel
-    flat uint32 array when plan.lb == 0, else an empty array.  row_end may
-    exceed plan.n_rows (padding rows for even device splits stay EMPTY)."""
+    Slot = (mixed_lo << lb) | (label+1) where mixed_lo is the low 64-m1 bits
+    of the bijective mix (the bucket row supplies the top m1 bits).  The
+    returned labels array is always empty (kept for API stability with the
+    callers' (slots, labels) plumbing).  row_end may exceed plan.n_rows
+    (padding rows for even device splits stay EMPTY)."""
     keys = np.asarray(keys, dtype=np.uint64)
     labels1 = np.asarray(labels1, dtype=np.int32)
     c, lb = plan.c, plan.lb
@@ -172,17 +179,13 @@ def fill_rows(
     sel = (plan.bucket >= row_start) & (plan.bucket < row_end) & (plan.rank < c)
     bb = plan.bucket[sel] - row_start
     rr = plan.rank[sel]
-    ko = keys[sel]
+    with np.errstate(over="ignore"):
+        mixed = keys[sel] * _MIX1
+    qlow = mixed & np.uint64((1 << (64 - plan.m1)) - 1)
     lo = labels1[sel].astype(np.uint64)
     slots = np.full((rows, c), EMPTY, dtype=np.uint64)
-    if lb:
-        slots[bb, rr] = (ko << np.uint64(lb)) | lo
-        labels = np.zeros(0, dtype=np.uint32)
-    else:
-        slots[bb, rr] = ko
-        labels = np.zeros(rows * c, dtype=np.uint32)
-        labels[bb * c + rr] = lo.astype(np.uint32)
-    return slots, labels
+    slots[bb, rr] = (qlow << np.uint64(lb)) | lo
+    return slots, np.zeros(0, dtype=np.uint32)
 
 
 def build(
@@ -214,7 +217,7 @@ def build(
     )
 
 
-_CACHE_VERSION = 2
+_CACHE_VERSION = 3  # v3: quotient-trick slots (label always packed)
 
 
 def db_signature(stem: str) -> np.ndarray:
@@ -294,21 +297,16 @@ def load_cache(path: str, signature: np.ndarray | None = None) -> RadixTable | N
         return None
 
 
-def _probe_rows(slots, labels, q, b, lb, c, base_slot):
-    """Match q against its gathered row; returns (hit, label+1)."""
+def _probe_rows(slots, qlow, b, lb):
+    """Match the query quotients against their gathered rows;
+    returns (hit, label+1)."""
     import jax.numpy as jnp
 
     rows = slots[b]  # [Q, C]
-    if lb:
-        hit = (rows >> jnp.uint64(lb)) == q[:, None]
-        lab_mat = (rows & jnp.uint64((1 << lb) - 1)).astype(jnp.int32)
-        anyh = jnp.any(hit, axis=1)
-        lab = jnp.max(jnp.where(hit, lab_mat, 0), axis=1)
-        return anyh, lab
-    hit = rows == q[:, None]
-    s = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    hit = (rows >> jnp.uint64(lb)) == qlow[:, None]
+    lab_mat = (rows & jnp.uint64((1 << lb) - 1)).astype(jnp.int32)
     anyh = jnp.any(hit, axis=1)
-    lab = labels[base_slot + b * c + s].astype(jnp.int32)
+    lab = jnp.max(jnp.where(hit, lab_mat, 0), axis=1)
     return anyh, lab
 
 
@@ -321,11 +319,15 @@ def _stash_lookup(stash_keys, stash_labels, q):
 
 
 def probe(slots, labels, stash_keys, stash_labels, q, *, m1: int, lb: int, c: int):
-    """Device-side lookup: label+1 per query, 0 on miss."""
+    """Device-side lookup: label+1 per query, 0 on miss.  `labels`/`c` are
+    accepted for signature stability; the label rides in the slot."""
     import jax.numpy as jnp
 
-    b = ((q * jnp.uint64(_MIX1)) >> jnp.uint64(64 - m1)).astype(jnp.int32)
-    anyh, lab = _probe_rows(slots, labels, q, b, lb, c, 0)
+    del labels, c
+    mixed = q * jnp.uint64(_MIX1)
+    b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
+    qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
+    anyh, lab = _probe_rows(slots, qlow, b, lb)
     lab = jnp.where(anyh, lab, 0)
     slab = _stash_lookup(stash_keys, stash_labels, q)
     return jnp.maximum(lab, slab)
@@ -340,12 +342,15 @@ def probe_chunk(
     exactly one chunk/shard."""
     import jax.numpy as jnp
 
+    del labels_blk, c
     rows_per = slots_blk.shape[0]
-    b = ((q * jnp.uint64(_MIX1)) >> jnp.uint64(64 - m1)).astype(jnp.int32)
+    mixed = q * jnp.uint64(_MIX1)
+    b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
+    qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
     lrow = b - start_row
     inrange = (lrow >= 0) & (lrow < rows_per)
     lrow = jnp.clip(lrow, 0, rows_per - 1)
-    anyh, lab = _probe_rows(slots_blk, labels_blk, q, lrow, lb, c, 0)
+    anyh, lab = _probe_rows(slots_blk, qlow, lrow, lb)
     lab = jnp.where(anyh & inrange, lab, 0)
     slab = _stash_lookup(stash_keys, stash_labels, q)
     slab = jnp.where(use_stash, slab, 0)

@@ -22,13 +22,14 @@ def _probe(t, q):
 
 
 @pytest.mark.parametrize("n", [0, 5, 1000, 200_000])
-@pytest.mark.parametrize("k", [27, None])  # packed labels vs separate array
+@pytest.mark.parametrize("k", [27, None])  # k is accepted but irrelevant
 def test_build_and_probe(n, k):
     rng = np.random.default_rng((n or 1) + (k or 0))
     keys = np.unique(rng.integers(0, 1 << 54, size=max(2 * n, 1), dtype=np.uint64))[:n]
     labels1 = rng.integers(1, 100, size=n).astype(np.int32)
     t = radix_table.build(keys, labels1, k=k)
-    assert (t.lb > 0) == (k is not None and n > 0 or k is not None)
+    # quotient storage always packs the label into the slot
+    assert t.lb > 0 and t.lb < t.m1 and t.labels.size == 0
 
     if n:
         assert np.array_equal(_probe(t, keys), labels1)
@@ -48,13 +49,25 @@ def test_stash_used_and_exact():
     assert np.array_equal(_probe(t, keys), labels1)
 
 
-def test_label_packing_fallback_many_targets():
-    """k=31 leaves only 2 free bits -> must fall back to a label array."""
+def test_label_packing_many_targets_full_width():
+    """k=31 (62-bit keys) with thousands of labels still packs the label:
+    quotient storage frees m1 bits regardless of key width (the old layout
+    needed 2k + label bits <= 64 and fell back to a second gather here)."""
     rng = np.random.default_rng(4)
     keys = np.unique(rng.integers(0, 1 << 62, size=5000, dtype=np.uint64))
     labels1 = rng.integers(1, 5000, size=len(keys)).astype(np.int32)
     t = radix_table.build(keys, labels1, k=31)
-    assert t.lb == 0 and t.labels.size > 0
+    assert t.lb >= 13 and t.labels.size == 0
+    assert np.array_equal(_probe(t, keys), labels1)
+
+
+def test_max_targets_cap():
+    """The reference's MTRGTS cap (65535 targets, dataType.hh:46) packs."""
+    rng = np.random.default_rng(6)
+    keys = np.unique(rng.integers(0, (1 << 64) - 2, size=300_000, dtype=np.uint64))
+    labels1 = rng.integers(1, 65536, size=len(keys)).astype(np.int32)
+    t = radix_table.build(keys, labels1)
+    assert t.lb == 17 and t.lb < t.m1
     assert np.array_equal(_probe(t, keys), labels1)
 
 
