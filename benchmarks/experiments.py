@@ -304,7 +304,7 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
                 (rlo & ~labmask) == (qlo_ref[i, 0] & ~labmask)
             )
             lab = jnp.max(jnp.where(hit, (rlo & labmask).astype(jnp.int32), 0))
-            out_ref[i, 0] = lab
+            out_ref[i, 0] = lab.astype(jnp.int32)
 
             @pl.when(i + bufs < tile)
             def _():
@@ -356,8 +356,8 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
     )
     t64 = _timeit(p64, slots, labels, sk, sl, qd)
     try:
-        tp = _timeit(ppal, tbl_lo, tbl_hi, qd, iters=2)
-        got = np.asarray(ppal(tbl_lo, tbl_hi, qd))
+        tp = _timeit(ppal, tbl32, qd, iters=2)
+        got = np.asarray(ppal(tbl32, qd))
         sk0 = jnp.full_like(sk, radix_table.EMPTY)
         ref = np.asarray(p64(slots, labels, sk0, sl, qd))
         ok = bool(np.array_equal(got, ref))

@@ -114,3 +114,48 @@ def test_db_sharded_with_cycles(db):
     assert rows1 == oracle.rows(sh.classify_bytes(fa)[0])
     ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
     assert ext1 == oracle.rows(sh.classify_bytes(fa, extended=True)[0])
+
+
+def test_db_shard_work_balance():
+    """Per-device key ownership under the Fibonacci mix is near-uniform —
+    the design-level load-balance evidence for the >=80% scaling bar (each
+    device probes every query against its rows; time ~ resident keys).
+    Recorded numbers live in docs/MULTICHIP.md."""
+    from jn_cuclark_tpu.ops import radix_table
+
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(1, 1 << 54, size=120_000, dtype=np.uint64))
+    labels1 = rng.integers(1, 100, size=len(keys)).astype(np.int32)
+    plan = radix_table.plan_table(keys, labels1)
+    ndev = 8
+    rpd = -(-plan.n_rows // ndev)
+    dev_of_key = np.minimum(plan.bucket // rpd, ndev - 1)
+    per_dev = np.bincount(dev_of_key, minlength=ndev)
+    mean = per_dev.mean()
+    imbalance = per_dev.max() / mean
+    assert imbalance < 1.02, f"key imbalance {imbalance:.3f}: {per_dev}"
+
+
+def test_dp_shard_work_balance(db):
+    """dp mode pads the batch to a multiple of the device count, so per-device
+    read rows are exactly equal by construction."""
+    tmp_path, prof, targets, fa = db
+    mesh = make_mesh(8)
+    ndev = mesh.devices.size
+    from jn_cuclark_tpu.ops import radix_table as rt
+    import jax.numpy as jnp
+
+    from jn_cuclark_tpu.parallel.mesh import shard_reads
+
+    rng = np.random.default_rng(12)
+    keys = np.unique(rng.integers(1, 1 << 54, size=4096, dtype=np.uint64))
+    labels1 = rng.integers(1, 10, size=len(keys)).astype(np.int32)
+    table = rt.build(keys, labels1)
+    _, batch_fn = shard_reads(mesh, table, 9, k=K)
+    words = jnp.zeros((100, 5), jnp.uint64)  # 100 % 8 != 0 -> pads to 104
+    vwords = jnp.zeros((100, 3), jnp.uint64)
+    out = batch_fn(words, vwords, extended=False)
+    total = out[0]
+    assert total.shape[0] == 104
+    shard_rows = {s.data.shape[0] for s in total.addressable_shards}
+    assert shard_rows == {104 // ndev}
