@@ -150,8 +150,8 @@ def config1():
     fa = _sim_reads(rng, genomes, n_reads, 150)
     clf = Classifier.load(
         td, targets, prof, k,
-        plan=BatchPlan(max_queries=1 << 23, max_reads=1 << 16,
-                       window_budget=1 << 23),
+        plan=BatchPlan(max_reads=1 << 16, window_budget=1 << 23,
+                       pipeline_depth=6),
     )
     rps, lps = _rate(clf, fa, k)
     return dict(
@@ -181,8 +181,8 @@ def _c2_load():
     build_s = _timed_build(td, targets, prof, k)
     clf = Classifier.load(
         td, targets, prof, k,
-        plan=BatchPlan(max_queries=1 << 23, max_reads=1 << 16,
-                       window_budget=1 << 23),
+        plan=BatchPlan(max_reads=1 << 16, window_budget=1 << 23,
+                       pipeline_depth=6),
     )
     return td, rng, genomes, targets, prof, k, build_s, clf
 

@@ -379,6 +379,40 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
     )
 
 
+def exp_probe_wide(n_keys=46_000_000, k=31, T=16, n_q=1 << 22):
+    """Production probe at big-DB scale vs slot width: does widening rows
+    (fewer rows -> cheaper per-row gather) beat C=128 at ~46M keys?"""
+    from jn_cuclark_tpu.ops import radix_table
+
+    keys, labels1 = _make_keys(n_keys, k, T)
+    q = _queries(keys, n_q)
+    qd = jnp.asarray(q)
+    out = []
+    import json as _json
+
+    for c in (128, 256, 512):
+        table = radix_table.build(keys, labels1, k=k, c=c)
+        slots = jnp.asarray(table.slots)
+        labels = jnp.asarray(table.labels)
+        sk = jnp.asarray(table.stash_keys)
+        sl = jnp.asarray(table.stash_labels)
+        p = jax.jit(
+            functools.partial(
+                radix_table.probe, m1=table.m1, lb=table.lb,
+                c=table.slot_width,
+            )
+        )
+        t = _timeit(p, slots, labels, sk, sl, qd, iters=8)
+        r = dict(
+            c=c, m1=table.m1, table_gb=round(table.nbytes / 2**30, 2),
+            mprobes_s=round(n_q / t / 1e6, 1),
+        )
+        print(_json.dumps(r), flush=True)
+        out.append(r)
+        del slots, labels, table
+    return out
+
+
 def exp_gather_width(n_q=1 << 22):
     """Per-row gather cost vs row width at fixed big row count (2^20)."""
     rng = np.random.default_rng(0)
@@ -416,7 +450,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "exp",
-        choices=["counts", "probe32", "bitcast", "pallas", "gatherw", "all"],
+        choices=["counts", "probe32", "bitcast", "pallas", "gatherw",
+                 "widerow", "all"],
     )
     args = ap.parse_args()
     import json
@@ -434,6 +469,9 @@ def main():
         print("probe u64 vs pallas DMA:", json.dumps(exp_probe_pallas()))
     if args.exp in ("gatherw", "all"):
         print("gather width:", json.dumps(exp_gather_width(), indent=1))
+    if args.exp == "widerow":
+        print("probe wide rows @46M keys:")
+        exp_probe_wide()
 
 
 if __name__ == "__main__":

@@ -78,29 +78,91 @@ def cmd_db_build(args):
     return 0
 
 
+_TAXONOMY_FILES = [
+    "citations.dmp", "delnodes.dmp", "division.dmp", "gc.prt",
+    "gencode.dmp", "images.dmp", "merged.dmp", "names.dmp",
+    "nodes.dmp", "nucl_accss",
+]
+
+
 def cmd_db_update_taxonomy(args):
-    """Offline stand-in for the reference's scripts/updateTaxonomy.sh: this
-    build environment has no network egress, so print exactly what to fetch
-    and where to place it, then validate whatever is already present."""
+    """scripts/updateTaxonomy.sh equivalent, minus the wget (this build
+    environment has no network egress): with --from, install taxonomy data
+    from an already-downloaded directory or taxdump.tar.gz — extract *.dmp,
+    concatenate nucl_gb + nucl_wgs accession2taxid (gunzipping as needed)
+    into nucl_accss, touch <db>/.taxondata; without --from, print what to
+    fetch and validate what is present."""
+    import glob
+    import gzip
+    import shutil
+    import tarfile
+
     tax = os.path.join(args.db, "taxonomy")
-    print(
-        "This environment cannot download NCBI taxonomy data.\n"
-        "To update the taxonomy manually, fetch from "
-        "ftp://ftp.ncbi.nih.gov/pub/taxonomy/:\n"
-        "  taxdump.tar.gz   -> extract *.dmp into " + tax + "/\n"
-        "  accession2taxid/nucl_*.accession2taxid.gz -> concatenate "
-        "(accession<TAB>taxid columns) into " + os.path.join(tax, "nucl_accss")
-        + "\nThen re-run: clark-tpu db set-targets " + args.db
-    )
-    needed = [
-        "citations.dmp", "delnodes.dmp", "division.dmp", "gc.prt",
-        "gencode.dmp", "images.dmp", "merged.dmp", "names.dmp",
-        "nodes.dmp", "nucl_accss",
+    if args.src is not None:
+        os.makedirs(tax, exist_ok=True)
+        src = args.src
+        if os.path.isfile(src) and (src.endswith(".tar.gz") or src.endswith(".tgz")):
+            print(f"Extracting {src} ...")
+            with tarfile.open(src, "r:gz") as t:
+                for m in t.getmembers():
+                    base = os.path.basename(m.name)
+                    if m.isfile() and (base.endswith(".dmp") or base == "gc.prt"):
+                        with t.extractfile(m) as f, open(
+                            os.path.join(tax, base), "wb"
+                        ) as g:
+                            shutil.copyfileobj(f, g)
+            src = os.path.dirname(os.path.abspath(args.src))
+        elif os.path.isdir(src):
+            for tb in sorted(glob.glob(os.path.join(src, "taxdump.tar.gz"))):
+                print(f"Extracting {tb} ...")
+                with tarfile.open(tb, "r:gz") as t:
+                    for m in t.getmembers():
+                        base = os.path.basename(m.name)
+                        if m.isfile() and (base.endswith(".dmp") or base == "gc.prt"):
+                            with t.extractfile(m) as f, open(
+                                os.path.join(tax, base), "wb"
+                            ) as g:
+                                shutil.copyfileobj(f, g)
+            for f in _TAXONOMY_FILES:
+                p = os.path.join(src, f)
+                if os.path.exists(p) and not os.path.samefile(src, tax):
+                    shutil.copyfile(p, os.path.join(tax, f))
+        else:
+            print(f"--from {src}: not a directory or .tar.gz")
+            return 1
+        # nucl_gb first, then nucl_wgs (updateTaxonomy.sh concatenation order)
+        parts = []
+        for stem in ("nucl_gb.accession2taxid", "nucl_wgs.accession2taxid"):
+            for cand in (os.path.join(src, stem), os.path.join(src, stem + ".gz")):
+                if os.path.exists(cand):
+                    parts.append(cand)
+                    break
+        if parts:
+            print("Writing nucl_accss from: " + ", ".join(parts))
+            with open(os.path.join(tax, "nucl_accss"), "wb") as out:
+                for p in parts:
+                    op = gzip.open if p.endswith(".gz") else open
+                    with op(p, "rb") as f:
+                        shutil.copyfileobj(f, out)
+    else:
+        print(
+            "No --from given and this environment cannot download NCBI "
+            "taxonomy data.\nFetch from ftp://ftp.ncbi.nih.gov/pub/taxonomy/:"
+            "\n  taxdump.tar.gz"
+            "\n  accession2taxid/nucl_gb.accession2taxid.gz"
+            "\n  accession2taxid/nucl_wgs.accession2taxid.gz"
+            "\nthen: clark-tpu db update-taxonomy " + args.db
+            + " --from <download-dir>"
+        )
+    missing = [
+        f for f in _TAXONOMY_FILES if not os.path.exists(os.path.join(tax, f))
     ]
-    missing = [f for f in needed if not os.path.exists(os.path.join(tax, f))]
     if missing:
         print("\nCurrently missing: " + ", ".join(missing))
         return 1
+    # the reference marks completion with <db>/.taxondata
+    # (updateTaxonomy.sh: `touch ../.taxondata`; checked by kent.cpp:178-265)
+    open(os.path.join(args.db, ".taxondata"), "a").close()
     print("\nAll taxonomy files present.")
     return 0
 
@@ -426,10 +488,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     put = dsub.add_parser(
         "update-taxonomy",
-        help="offline instructions + validation for NCBI taxonomy data "
-        "(scripts/updateTaxonomy.sh equivalent; zero-egress environment)",
+        help="install/validate NCBI taxonomy data from a local download "
+        "(scripts/updateTaxonomy.sh equivalent; the fetch itself is manual "
+        "in this zero-egress environment)",
     )
     put.add_argument("db", help="database directory")
+    put.add_argument(
+        "--from", dest="src", default=None, metavar="DIR_OR_TGZ",
+        help="directory (or taxdump.tar.gz) holding the downloaded "
+        "taxdump + nucl_*.accession2taxid[.gz] files",
+    )
     put.set_defaults(fn=cmd_db_update_taxonomy)
 
     pcln = dsub.add_parser("clean", help="remove built DB artifacts (scripts/clean.sh --reset)")

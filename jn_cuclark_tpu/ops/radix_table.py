@@ -318,19 +318,45 @@ def _stash_lookup(stash_keys, stash_labels, q):
     return jnp.max(jnp.where(eq, stash_labels[None, :], 0), axis=1)
 
 
+# queries per probe chunk: bounds the [chunk, C] gather/compare temporaries
+# (XLA materializes them; 2^21 x 128 u32 = 1 GB) so arbitrarily large batch
+# plans fit HBM — chunks run back-to-back under lax.map with no wall cost
+_PROBE_CHUNK = 1 << 21
+
+
+def _chunked_q(fn, q):
+    """Apply fn over EMPTY-padded chunks of q (EMPTY probes miss to 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_q = q.shape[0]
+    if n_q <= _PROBE_CHUNK:
+        return fn(q)
+    n = -(-n_q // _PROBE_CHUNK)
+    pad = n * _PROBE_CHUNK - n_q
+    if pad:
+        q = jnp.concatenate([q, jnp.full((pad,), EMPTY, q.dtype)])
+    lab = jax.lax.map(fn, q.reshape(n, _PROBE_CHUNK))
+    return lab.reshape(-1)[:n_q]
+
+
 def probe(slots, labels, stash_keys, stash_labels, q, *, m1: int, lb: int, c: int):
     """Device-side lookup: label+1 per query, 0 on miss.  `labels`/`c` are
     accepted for signature stability; the label rides in the slot."""
     import jax.numpy as jnp
 
     del labels, c
-    mixed = q * jnp.uint64(_MIX1)
-    b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
-    qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
-    anyh, lab = _probe_rows(slots, qlow, b, lb)
-    lab = jnp.where(anyh, lab, 0)
-    slab = _stash_lookup(stash_keys, stash_labels, q)
-    return jnp.maximum(lab, slab)
+
+    def one(qq):
+        mixed = qq * jnp.uint64(_MIX1)
+        b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
+        anyh, lab = _probe_rows(slots, qlow, b, lb)
+        lab = jnp.where(anyh, lab, 0)
+        slab = _stash_lookup(stash_keys, stash_labels, qq)
+        return jnp.maximum(lab, slab)
+
+    return _chunked_q(one, q)
 
 
 def probe_chunk(
@@ -344,17 +370,21 @@ def probe_chunk(
 
     del labels_blk, c
     rows_per = slots_blk.shape[0]
-    mixed = q * jnp.uint64(_MIX1)
-    b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
-    qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
-    lrow = b - start_row
-    inrange = (lrow >= 0) & (lrow < rows_per)
-    lrow = jnp.clip(lrow, 0, rows_per - 1)
-    anyh, lab = _probe_rows(slots_blk, qlow, lrow, lb)
-    lab = jnp.where(anyh & inrange, lab, 0)
-    slab = _stash_lookup(stash_keys, stash_labels, q)
-    slab = jnp.where(use_stash, slab, 0)
-    return jnp.maximum(lab, slab)
+
+    def one(qq):
+        mixed = qq * jnp.uint64(_MIX1)
+        b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
+        lrow = b - start_row
+        inrange = (lrow >= 0) & (lrow < rows_per)
+        lrow = jnp.clip(lrow, 0, rows_per - 1)
+        anyh, lab = _probe_rows(slots_blk, qlow, lrow, lb)
+        lab = jnp.where(anyh & inrange, lab, 0)
+        slab = _stash_lookup(stash_keys, stash_labels, qq)
+        slab = jnp.where(use_stash, slab, 0)
+        return jnp.maximum(lab, slab)
+
+    return _chunked_q(one, q)
 
 
 def chunk_table(table: RadixTable, n_chunks: int):

@@ -254,3 +254,47 @@ def test_db_clean(tmp_path):
     assert (db / "Custom").exists()
     assert not (db / "custom_0_canonical").exists()
     assert not (db / "targets.txt").exists()
+
+
+def test_db_update_taxonomy_from_local(tmp_path, capsys):
+    """updateTaxonomy.sh equivalent, fetch replaced by --from: extracts
+    taxdump.tar.gz, concatenates nucl_gb then nucl_wgs into nucl_accss
+    (gunzipping), touches <db>/.taxondata."""
+    import gzip
+    import tarfile
+
+    dl = tmp_path / "downloads"
+    dl.mkdir()
+    dmp_names = [
+        "citations.dmp", "delnodes.dmp", "division.dmp", "gc.prt",
+        "gencode.dmp", "images.dmp", "merged.dmp", "names.dmp", "nodes.dmp",
+    ]
+    src = tmp_path / "dumps"
+    src.mkdir()
+    for n in dmp_names:
+        (src / n).write_text(f"content of {n}\n")
+    with tarfile.open(dl / "taxdump.tar.gz", "w:gz") as t:
+        for n in dmp_names:
+            t.add(src / n, arcname=n)
+    (dl / "nucl_gb.accession2taxid").write_text("A1\t1\tgb\n")
+    with gzip.open(dl / "nucl_wgs.accession2taxid.gz", "wt") as f:
+        f.write("A2\t2\twgs\n")
+
+    db = tmp_path / "mydb"
+    db.mkdir()
+    rc = run_cli("db", "update-taxonomy", str(db), "--from", str(dl))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    tax = db / "taxonomy"
+    for n in dmp_names:
+        assert (tax / n).read_text() == f"content of {n}\n"
+    # nucl_gb first, then nucl_wgs (updateTaxonomy.sh concatenation order)
+    assert (tax / "nucl_accss").read_text() == "A1\t1\tgb\nA2\t2\twgs\n"
+    assert (db / ".taxondata").exists()
+
+    # without --from: instructions, and exit 1 while files are missing
+    db2 = tmp_path / "otherdb"
+    db2.mkdir()
+    rc = run_cli("db", "update-taxonomy", str(db2))
+    out = capsys.readouterr().out
+    assert rc == 1 and "taxdump.tar.gz" in out and "missing" in out
