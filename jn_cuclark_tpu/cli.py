@@ -211,7 +211,20 @@ def _load_classifier(args):
     cfg = database.DBConfig.load(args.db)
     prof = _profile_from_args(args, cfg)
     mesh = None
-    if args.devices and args.devices > 1:
+    mesh_mode = "db" if getattr(args, "shard_db", False) else "dp"
+    dp = getattr(args, "dp", None)
+    if dp and dp > 1 and getattr(args, "shard_db", False):
+        # 2-D composition: reads over 'dp' x table over 'db'
+        from .parallel.mesh import make_mesh2d
+
+        import jax
+
+        total = args.devices or len(jax.devices())
+        if total % dp:
+            raise SystemExit(f"--dp {dp} must divide the device count {total}")
+        mesh = make_mesh2d(dp, total // dp)
+        mesh_mode = "dp"  # engine dispatches on the mesh's 2 axes
+    elif args.devices and args.devices > 1:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(args.devices)
@@ -229,7 +242,7 @@ def _load_classifier(args):
         gap=args.gap if args.gap is not None else cfg.gap,
         mesh=mesh,
         db_cycles=getattr(args, "db_cycles", 1),
-        mesh_mode="db" if getattr(args, "shard_db", False) else "dp",
+        mesh_mode=mesh_mode,
     )
 
 
@@ -521,6 +534,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--extended", action="store_true", help="per-target score columns")
     pc.add_argument("--gzipped", action="store_true", help="inputs are gzipped")
     pc.add_argument("-d", "--devices", type=int, default=None, help="devices to shard the DB over")
+    pc.add_argument("--dp", type=int, default=None,
+                    help="with --shard-db: data-parallel width of a 2-D "
+                    "dp x db mesh (reads sharded over dp, table rows over "
+                    "db = devices/dp)")
     pc.add_argument("--shard-db", action="store_true",
                     help="shard the DB index over devices (for DBs larger "
                          "than one device's memory) instead of sharding reads")

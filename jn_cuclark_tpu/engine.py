@@ -140,11 +140,19 @@ class Classifier:
                 self.stash = (table.stash_keys, table.stash_labels)
                 return
             if mesh is not None:
-                from .parallel.mesh import shard_reads
+                if len(mesh.axis_names) == 2:
+                    # dp x db composition: reads AND table sharded at once
+                    from .parallel.mesh import shard_reads_db
 
-                (self.slots, self.lab_flat), self.batch_fn = shard_reads(
-                    mesh, table, self.n_targets, self.k
-                )
+                    (self.slots,), self.batch_fn = shard_reads_db(
+                        mesh, table, self.n_targets, self.k
+                    )
+                else:
+                    from .parallel.mesh import shard_reads
+
+                    (self.slots, self.lab_flat), self.batch_fn = shard_reads(
+                        mesh, table, self.n_targets, self.k
+                    )
             else:
                 self.slots = jax.device_put(table.slots)
                 self.lab_flat = jax.device_put(table.labels)

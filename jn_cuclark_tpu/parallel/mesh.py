@@ -323,6 +323,105 @@ def shard_reads(mesh: Mesh, table, n_targets: int, k: int):
     return (slots_d, lab_d), batch_fn
 
 
+def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
+    """2-D composition: table rows sharded over the 'db' axis AND read rows
+    sharded over the 'dp' axis of one mesh — capacity x throughput at once
+    (each device holds 1/ndb of the table and processes 1/ndp of the reads;
+    per-window labels psum over 'db' only, riding ICI).  The reference has no
+    analogue: its multi-GPU parts scheme reprocesses EVERY batch on every
+    device (CuClarkDB.cu:842-928) and its cluster never shards the DB.
+
+    Single-process meshes (jax.device_put global sharding); the multi-process
+    capacity path is the 1-D ShardedRadixTable."""
+    import numpy as np
+
+    from ..ops import device_pipeline, radix_table, score
+
+    axis_dp, axis_db = mesh.axis_names
+    ndp, ndb = mesh.devices.shape
+    c = table.slot_width
+    m1, lb = table.m1, table.lb
+    rows = table.slots.shape[0]
+    rpd = -(-rows // ndb)
+    slots_h = table.slots
+    if ndb * rpd != rows:
+        slots_h = np.concatenate([
+            slots_h,
+            np.full((ndb * rpd - rows, c), radix_table.EMPTY, np.uint64),
+        ])
+    repl = NamedSharding(mesh, P())
+    slots_d = jax.device_put(jnp.asarray(slots_h), NamedSharding(mesh, P(axis_db, None)))
+    sk_d = jax.device_put(jnp.asarray(table.stash_keys), repl)
+    sl_d = jax.device_put(jnp.asarray(table.stash_labels), repl)
+    rows_in = NamedSharding(mesh, P(axis_dp, None))
+
+    jfns = {}
+
+    def _jfn(extended: bool):
+        if extended in jfns:
+            return jfns[extended]
+
+        def f(slots_blk, sk, sl, words, vwords):
+            canon, valid = device_pipeline.window_canonicals(words, vwords, k)
+            q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
+            d = jax.lax.axis_index(axis_db)
+            lab = radix_table.probe_chunk(
+                slots_blk, jnp.zeros(0, jnp.uint32), sk, sl, q, d * rpd,
+                m1=m1, lb=lb, c=c, use_stash=(d == 0),
+            )
+            lab = jnp.where(valid.ravel(), lab, 0)
+            lab = jax.lax.psum(lab, axis_db)  # keys live on exactly one shard
+            R, S = valid.shape
+            if not extended:
+                total, ib, b_, isb, sb = score.top2_from_labels(
+                    lab.reshape(R, S)
+                )
+                return total, ib, b_, sb, jnp.zeros((R, 0), jnp.int32)
+            rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
+            counts = score.counts_from_hits(lab, rid, R, n_targets)
+            total, ib, b_, isb, sb = score.read_results(counts)
+            return total, ib, b_, sb, counts
+
+        jfns[extended] = jax.jit(
+            shard_map(
+                f,
+                mesh,
+                in_specs=(P(axis_db, None), P(), P(),
+                          P(axis_dp, None), P(axis_dp, None)),
+                out_specs=(P(axis_dp), P(axis_dp), P(axis_dp), P(axis_dp),
+                           P(axis_dp, None)),
+            )
+        )
+        return jfns[extended]
+
+    def batch_fn(words, vwords, extended=True):
+        r = (-words.shape[0]) % ndp
+        if r:
+            words = jnp.concatenate(
+                [words, jnp.zeros((r, words.shape[1]), jnp.uint64)]
+            )
+            vwords = jnp.concatenate(
+                [vwords, jnp.zeros((r, vwords.shape[1]), jnp.uint64)]
+            )
+        words = jax.device_put(words, rows_in)
+        vwords = jax.device_put(vwords, rows_in)
+        return _jfn(extended)(slots_d, sk_d, sl_d, words, vwords)
+
+    return (slots_d,), batch_fn
+
+
+def make_mesh2d(dp: int, db: int) -> Mesh:
+    """[dp, db] mesh over the first dp*db global devices."""
+    import numpy as np
+
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    if dp * db > len(devs):
+        raise ValueError(
+            f"mesh {dp}x{db} needs {dp * db} devices, have {len(devs)}"
+        )
+    return Mesh(np.array(devs[: dp * db]).reshape(dp, db), ("dp", "db"))
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "db") -> Mesh:
     """One-axis mesh over the global device set, ordered so each process's
     devices are contiguous (required by ShardedRadixTable's per-process row

@@ -159,3 +159,22 @@ def test_dp_shard_work_balance(db):
     assert total.shape[0] == 104
     shard_rows = {s.data.shape[0] for s in total.addressable_shards}
     assert shard_rows == {104 // ndev}
+
+
+def test_dpdb_2d_mesh_matches_single(db):
+    """2-D composition (reads sharded over 'dp' x table rows over 'db'):
+    byte-equal CSV incl. extended, at 4x2 and 2x4."""
+    from jn_cuclark_tpu.parallel.mesh import make_mesh2d
+
+    tmp_path, prof, targets, fa = db
+    plan = BatchPlan(window_budget=1 << 14)
+    single = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
+    ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
+    for dp, ndb in ((4, 2), (2, 4)):
+        m = make_mesh2d(dp, ndb)
+        clf = Classifier.load(str(tmp_path), targets, prof, K, plan=plan, mesh=m)
+        assert rows1 == oracle.rows(clf.classify_bytes(fa)[0]), (dp, ndb)
+        assert ext1 == oracle.rows(
+            clf.classify_bytes(fa, extended=True)[0]
+        ), (dp, ndb)
