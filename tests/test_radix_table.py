@@ -127,3 +127,24 @@ def test_cache_signature_invalidation(tmp_path):
     os.utime(stem + ".ky", ns=(st.st_atime_ns, st.st_mtime_ns))
     sig2 = radix_table.db_signature(stem)
     assert radix_table.load_cache(cache, signature=sig2) is None
+
+
+def test_chunked_probe_boundaries(monkeypatch):
+    """Multi-chunk probe (lax.map path) with a non-divisible tail must equal
+    the monolithic result; padding probes are EMPTY (miss-safe)."""
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 54, size=5000, dtype=np.uint64))
+    labels1 = rng.integers(1, 50, size=len(keys)).astype(np.int32)
+    t = radix_table.build(keys, labels1)
+    n_q = 2500
+    q = np.where(
+        rng.random(n_q) < 0.5,
+        rng.choice(keys, size=n_q),
+        rng.integers(0, 1 << 54, size=n_q, dtype=np.uint64),
+    )
+    want = _probe(t, q)  # monolithic (n_q < default chunk)
+    monkeypatch.setattr(radix_table, "_PROBE_CHUNK", 1024)  # 3 chunks + pad
+    got = _probe(t, q)
+    assert np.array_equal(got, want)
+    # exact multiple of the chunk size (no padding)
+    assert np.array_equal(_probe(t, q[:2048]), want[:2048])
