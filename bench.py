@@ -91,7 +91,11 @@ def _timed_build(tmpdir, targets, prof, k):
 
 
 def _sim_reads(rng, genomes, n_reads, lens, junk_frac=0.0, prefix="r"):
-    """FASTA of n_reads; a junk_frac fraction are random (miss) reads."""
+    """FASTA of n_reads; a junk_frac fraction are random (miss) reads.
+
+    Callers pass a DEDICATED rng (not the genome-writing one): genome draws
+    are skipped on warm cache hits, so sharing one stream would make the
+    benchmarked read set differ between cold and warm runs."""
     out = []
     for i in range(n_reads):
         ln = int(lens[i]) if np.ndim(lens) else int(lens)
@@ -147,7 +151,7 @@ def config1():
     genomes = _write_genomes(td, rng, 3, genome_len)
     targets = parse_targets(os.path.join(td, "targets.txt"))
     build_s = _timed_build(td, targets, prof, k)
-    fa = _sim_reads(rng, genomes, n_reads, 150)
+    fa = _sim_reads(np.random.default_rng(100), genomes, n_reads, 150)
     clf = Classifier.load(
         td, targets, prof, k,
         plan=BatchPlan(max_reads=1 << 16, window_budget=1 << 23,
@@ -173,8 +177,8 @@ def _c2_load():
     glen = int(os.environ.get("BENCH_C2_GLEN", "3000000"))
     td = os.path.join(CACHE_ROOT, f"bench_c2_{n_genomes}x{glen}")
     os.makedirs(td, exist_ok=True)
-    rng = np.random.default_rng(2)
-    genomes = _write_genomes(td, rng, n_genomes, glen)
+    genomes = _write_genomes(td, np.random.default_rng(2), n_genomes, glen)
+    rng = np.random.default_rng(200)  # reads rng, independent of genome caching
     targets = parse_targets(os.path.join(td, "targets.txt"))
     prof = params.FULL
     k = prof.default_k  # 31: u32 on-disk keys, the real full-profile width

@@ -92,37 +92,32 @@ def cmd_db_update_taxonomy(args):
     concatenate nucl_gb + nucl_wgs accession2taxid (gunzipping as needed)
     into nucl_accss, touch <db>/.taxondata; without --from, print what to
     fetch and validate what is present."""
-    import glob
     import gzip
     import shutil
     import tarfile
+
+    def extract_taxdump(tar_path: str, tax: str):
+        print(f"Extracting {tar_path} ...")
+        with tarfile.open(tar_path, "r:gz") as t:
+            for m in t.getmembers():
+                base = os.path.basename(m.name)
+                if m.isfile() and (base.endswith(".dmp") or base == "gc.prt"):
+                    with t.extractfile(m) as f, open(
+                        os.path.join(tax, base), "wb"
+                    ) as g:
+                        shutil.copyfileobj(f, g)
 
     tax = os.path.join(args.db, "taxonomy")
     if args.src is not None:
         os.makedirs(tax, exist_ok=True)
         src = args.src
         if os.path.isfile(src) and (src.endswith(".tar.gz") or src.endswith(".tgz")):
-            print(f"Extracting {src} ...")
-            with tarfile.open(src, "r:gz") as t:
-                for m in t.getmembers():
-                    base = os.path.basename(m.name)
-                    if m.isfile() and (base.endswith(".dmp") or base == "gc.prt"):
-                        with t.extractfile(m) as f, open(
-                            os.path.join(tax, base), "wb"
-                        ) as g:
-                            shutil.copyfileobj(f, g)
+            extract_taxdump(src, tax)
             src = os.path.dirname(os.path.abspath(args.src))
         elif os.path.isdir(src):
-            for tb in sorted(glob.glob(os.path.join(src, "taxdump.tar.gz"))):
-                print(f"Extracting {tb} ...")
-                with tarfile.open(tb, "r:gz") as t:
-                    for m in t.getmembers():
-                        base = os.path.basename(m.name)
-                        if m.isfile() and (base.endswith(".dmp") or base == "gc.prt"):
-                            with t.extractfile(m) as f, open(
-                                os.path.join(tax, base), "wb"
-                            ) as g:
-                                shutil.copyfileobj(f, g)
+            tb = os.path.join(src, "taxdump.tar.gz")
+            if os.path.exists(tb):
+                extract_taxdump(tb, tax)
             for f in _TAXONOMY_FILES:
                 p = os.path.join(src, f)
                 if os.path.exists(p) and not os.path.samefile(src, tax):
@@ -213,6 +208,11 @@ def _load_classifier(args):
     mesh = None
     mesh_mode = "db" if getattr(args, "shard_db", False) else "dp"
     dp = getattr(args, "dp", None)
+    if dp and not getattr(args, "shard_db", False):
+        raise SystemExit(
+            "--dp selects the data-parallel width of a 2-D dp x db mesh and "
+            "requires --shard-db (for pure read sharding use -d N)"
+        )
     if dp and dp > 1 and getattr(args, "shard_db", False):
         # 2-D composition: reads over 'dp' x table over 'db'
         from .parallel.mesh import make_mesh2d

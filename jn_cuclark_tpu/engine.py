@@ -326,13 +326,23 @@ class Classifier:
         t0 = time.time()
         n_reads = 0
         out = result_path + ".csv"
+        # pull the first slab BEFORE touching the output so a missing/
+        # malformed input raises without destroying an existing results file
+        import itertools
+
+        first = next(slabs, None)
+        if first is not None:
+            slabs = itertools.chain([first], slabs)
         with open(out, "wb") as f:
             f.write(self._header(extended))
-            for slab in slabs:
-                gen, nr = self.classify_bytes(slab, paired=paired, extended=extended)
-                for chunk in gen:
-                    f.write(chunk)
-                n_reads += nr
+            if first is not None:
+                for slab in slabs:
+                    gen, nr = self.classify_bytes(
+                        slab, paired=paired, extended=extended
+                    )
+                    for chunk in gen:
+                        f.write(chunk)
+                    n_reads += nr
         dt = time.time() - t0
         stats = {
             "reads": n_reads,

@@ -399,24 +399,14 @@ def chunk_table(table: RadixTable, n_chunks: int):
         slots = np.concatenate(
             [slots, np.full((r, c), EMPTY, dtype=np.uint64)]
         )
-        labels = table.labels
-        if labels.size:
-            labels = np.concatenate([labels, np.zeros(r * c, np.uint32)])
-    else:
-        labels = table.labels
     rows_per = slots.shape[0] // n_chunks
-    out = []
-    for i in range(n_chunks):
-        out.append(
-            dict(
-                slots=slots[i * rows_per : (i + 1) * rows_per],
-                labels=(
-                    labels[i * rows_per * c : (i + 1) * rows_per * c]
-                    if labels.size
-                    else labels
-                ),
-                start_row=i * rows_per,
-                use_stash=(i == 0),
-            )
+    empty_labels = np.zeros(0, dtype=np.uint32)  # labels ride in the slots
+    return [
+        dict(
+            slots=slots[i * rows_per : (i + 1) * rows_per],
+            labels=empty_labels,
+            start_row=i * rows_per,
+            use_stash=(i == 0),
         )
-    return out
+        for i in range(n_chunks)
+    ]

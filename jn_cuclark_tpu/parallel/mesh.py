@@ -127,22 +127,14 @@ class ShardedRadixTable:
         slots = jax.make_array_from_single_device_arrays(
             slots_shape, self.shard, sarrs
         )
-        if self.lb:
-            lab_shape = (self.ndev, 1)
-            larrs = [
-                jax.device_put(jnp.zeros((1, 1), jnp.uint32), d)
-                for _, d in self.local
-            ]
-        else:
-            lab_shape = (self.ndev, self.rpc * self.c)
-            larrs = [
-                jax.device_put(
-                    jnp.asarray(self._host[j][i][1].reshape(1, -1)), d
-                )
-                for i, (_, d) in enumerate(self.local)
-            ]
+        # labels are always packed in the slots (quotient storage); a dummy
+        # sharded placeholder keeps the shard_map signature uniform
+        larrs = [
+            jax.device_put(jnp.zeros((1, 1), jnp.uint32), d)
+            for _, d in self.local
+        ]
         labels = jax.make_array_from_single_device_arrays(
-            lab_shape, self.shard, larrs
+            (self.ndev, 1), self.shard, larrs
         )
         return slots, labels
 

@@ -195,7 +195,9 @@ def merge_paired_stream(data1, data2, chunk_cap: int = 1 << 28):
             raise ValueError("paired-end reads must be FASTQ files")
         pos = np.zeros(2, dtype=np.int64)
         status = np.zeros(1, dtype=np.int32)
-        cap = int(chunk_cap)
+        # the merged output never exceeds the combined input (+16 framing
+        # headroom), so small in-memory merges allocate small buffers
+        cap = min(int(chunk_cap), n1 + n2 + 16)
         out = np.empty(cap, dtype=np.uint8)
         while True:
             w = lib.merge_paired_chunk(

@@ -298,3 +298,15 @@ def test_db_update_taxonomy_from_local(tmp_path, capsys):
     rc = run_cli("db", "update-taxonomy", str(db2))
     out = capsys.readouterr().out
     assert rc == 1 and "taxdump.tar.gz" in out and "missing" in out
+
+
+def test_dp_requires_shard_db(dbdir, tmp_path):
+    """--dp without --shard-db must error, not silently change topology."""
+    root, db, reads, taxids, genomes = dbdir
+    import pytest
+
+    with pytest.raises(SystemExit, match="shard-db"):
+        run_cli(
+            "classify", "-D", str(db), "-O", str(reads),
+            "-R", str(tmp_path / "x"), "--dp", "2", "-d", "8",
+        )

@@ -174,3 +174,30 @@ def test_iter_merged_slabs_parity(tmp_path):
     p2 = _write(tmp_path, "m2.fq", fq2)
     got = b"".join(iter_merged_slabs(p1, p2, slab_bytes=128))
     assert got == _merge_paired_py(fq1, fq2)
+
+
+def test_classify_file_bad_input_preserves_existing_results(setup, tmp_path):  # noqa: F811
+    """A missing/malformed input must raise BEFORE the output CSV is
+    touched (round-2 review finding: the streaming rewrite truncated the
+    results file first)."""
+    dbdir, tpath, prof, targets, genomes, reads = setup
+    clf = Classifier.load(str(dbdir), targets, prof, K)
+    res = tmp_path / "keep"
+    precious = b"Object_ID,Gamma,Assignment,Score,Confidence\nold,1,NA,0,0\n"
+    (tmp_path / "keep.csv").write_bytes(precious)
+    with pytest.raises(FileNotFoundError):
+        clf.classify_file(str(tmp_path / "nope.fa"), str(res))
+    assert (tmp_path / "keep.csv").read_bytes() == precious
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"not a fasta\n")
+    with pytest.raises(ValueError, match="format"):
+        clf.classify_file(str(bad), str(res))
+    assert (tmp_path / "keep.csv").read_bytes() == precious
+    # paired: mismatched ids raise during the FIRST slab, before output
+    f1 = tmp_path / "a.fq"
+    f2 = tmp_path / "b.fq"
+    f1.write_text("@x/1\nACGT\n+\nIIII\n")
+    f2.write_text("@zzz/2\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError, match="read id"):
+        clf.classify_file(str(f1), str(res), paired_path=str(f2))
+    assert (tmp_path / "keep.csv").read_bytes() == precious
