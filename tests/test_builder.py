@@ -234,3 +234,45 @@ def test_saturating_group_sum_paths():
     with mock.patch.object(native, "available", return_value=False):
         assert np.array_equal(_saturating_group_sum(bounds, v), want)
     assert (want >= 255).sum() == 0 and (want >= 200).sum() > 0
+
+
+def test_spectrum_input_build(tmp_path):
+    """End-to-end DB build from spectrum-form target files ("<kmer> <count>"
+    lines, CuCLARK_hh.hh:861-877, 1298-1308): min-count filtering, weighted
+    lElement saturation at 254, and cross-target RemoveCommon."""
+    import numpy as np
+
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.db.builder import _canon_of_string
+    from jn_cuclark_tpu.io import dbformat
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    k = 9
+    prof = params.tiny(htsize=1021, k=k)
+    rng = np.random.default_rng(21)
+    kmers = ["".join(rng.choice(list("ACGT"), size=k)) for _ in range(40)]
+    kmers = list(dict.fromkeys(kmers))
+    shared, only1, only2 = kmers[0], kmers[1:20], kmers[20:]
+
+    with open(tmp_path / "t1.spec", "w") as f:
+        f.write(f"{shared} 9\n")
+        for s in only1:
+            f.write(f"{s} 5\n")
+        f.write(f"{only1[0]} 300\n")  # re-listed: counts saturate, mult 1
+    with open(tmp_path / "t2.spec", "w") as f:
+        f.write(f"{shared} 4\n")
+        for s in only2:
+            f.write(f"{s} 1\n")  # filtered out at min_count_target=2
+    with open(tmp_path / "targets.txt", "w") as f:
+        f.write(f"{tmp_path}/t1.spec 700\n{tmp_path}/t2.spec 701\n")
+    targets = parse_targets(str(tmp_path / "targets.txt"))
+    builder.build_database(targets, str(tmp_path), prof, k, min_count_target=2)
+    stem = str(tmp_path / prof.db_stem(k, 2, 2, prof.default_gap))
+    c, l = dbformat.read_db(stem, prof, k)
+    got = dict(zip(c.tolist(), l.tolist()))
+    # spectrum entries with count <= minT never enter the mother table
+    # (CuCLARK_hh.hh:1302: "if (mfreq > minT)"), so t2's count-1 k-mers are
+    # absent and the shared k-mer (mult 2) is removed by RemoveCommon
+    want = {_canon_of_string(s): 0 for s in only1}
+    assert got == want
