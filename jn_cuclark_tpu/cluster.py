@@ -59,6 +59,8 @@ class ClusterConfig:
     gzipped: bool = False
     shard_db: bool = False  # jax_distributed: shard the DB across ALL hosts
     db_cycles: int = 1  # out-of-core cycles per device (composes with shard_db)
+    dp: int = 1  # with shard_db: data-parallel width of a 2-D dp x db mesh
+    # (reads sharded over each host's dp devices, table rows over db = hosts)
     master_processes_reads: bool = True
     keep_local_results: bool = True
     log_level: str = "info"
@@ -110,6 +112,7 @@ class ClusterConfig:
             gzipped=b(classif, "gzipped", False),
             shard_db=b(classif, "shard_db", False),
             db_cycles=int(classif.get("db_cycles", 1)),
+            dp=int(classif.get("dp", 1)),
             master_processes_reads=b(options, "master_processes_reads", True),
             keep_local_results=b(options, "keep_local_results", True),
             log_level=logging_.get("level", "info"),
@@ -243,14 +246,24 @@ def run_sharded(cfg: ClusterConfig, log: ClusterLogger) -> list[NodeResult]:
     from . import abundance, database
     from .engine import Classifier
     from .io.fasta import merge_paired
-    from .parallel.mesh import make_mesh
+    from .parallel.mesh import make_mesh, make_mesh2d
 
     pid = jax.process_index()
     dbcfg = database.DBConfig.load(cfg.database)
-    mesh = make_mesh(cfg.num_devices)  # all global devices by default
+    if cfg.dp > 1:
+        # 2-D: table rows over db = hosts (DCN), reads over each host's dp
+        # devices (ICI) — each device probes 1/dp of the batch against 1/db
+        # of the table
+        total = cfg.num_devices or len(jax.devices())
+        if total % cfg.dp:
+            raise ValueError(f"dp={cfg.dp} must divide device count {total}")
+        mesh = make_mesh2d(cfg.dp, total // cfg.dp)
+    else:
+        mesh = make_mesh(cfg.num_devices)  # all global devices by default
     log.info(
         f"shard_db: {mesh.devices.size} devices across "
-        f"{jax.process_count()} processes, db_cycles={cfg.db_cycles}"
+        f"{jax.process_count()} processes, db_cycles={cfg.db_cycles}, "
+        f"dp={cfg.dp}"
     )
     clf = Classifier.load(
         dbcfg.subdb,

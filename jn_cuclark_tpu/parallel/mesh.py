@@ -67,8 +67,18 @@ class ShardedRadixTable:
         from ..ops import radix_table
 
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
-        self.ndev = mesh.devices.size
+        if len(mesh.axis_names) == 2:
+            # 2-D composition: table rows over the LAST axis ('db'), read
+            # rows over the first ('dp').  With make_mesh2d's column-major
+            # layout the db axis crosses process boundaries (DCN) and dp
+            # stays within a process, so each device probes only 1/ndp of
+            # the batch against 1/ndb of the table.
+            self.axis_dp, self.axis = mesh.axis_names
+            self.ndp, self.ndb = mesh.devices.shape
+        else:
+            self.axis_dp = None
+            self.axis = mesh.axis_names[0]
+            self.ndp, self.ndb = 1, mesh.devices.size
         self.n_targets = n_targets
         self.k = k
         self.n_cycles = db_cycles
@@ -78,25 +88,35 @@ class ShardedRadixTable:
         plan = radix_table.plan_table(keys, labels1, k=k)
         self.meta = plan.meta
         self.m1, self.lb, self.c = plan.m1, plan.lb, plan.c
-        # rows per device, divisible by the cycle count
-        rpd = -(-plan.n_rows // self.ndev)
+        # rows per db shard, divisible by the cycle count
+        rpd = -(-plan.n_rows // self.ndb)
         rpd = -(-rpd // db_cycles) * db_cycles
         self.rpd = rpd
-        self.rpc = rpd // db_cycles  # rows per (device, cycle)
+        self.rpc = rpd // db_cycles  # rows per (db shard, cycle)
 
-        flat = list(mesh.devices.reshape(-1))
         pid = jax.process_index()
-        self.local = [(i, d) for i, d in enumerate(flat) if d.process_index == pid]
+        # local devices with their (dp, db) coordinates
+        if self.axis_dp is None:
+            coords = [((0, j), d) for j, d in enumerate(mesh.devices.reshape(-1))]
+        else:
+            coords = [
+                ((i, j), mesh.devices[i, j])
+                for i in range(self.ndp)
+                for j in range(self.ndb)
+            ]
+        self.local = [(c, d) for c, d in coords if d.process_index == pid]
         if not self.local:
             raise ValueError("mesh contains no devices of this process")
-        # host-side chunks: fill only rows owned by local devices
-        self._host = []  # [cycle][local_dev] -> (slots, labels)
-        for j in range(db_cycles):
-            chunks = []
-            for gi, dev in self.local:
-                r0 = gi * rpd + j * self.rpc
-                chunks.append(
-                    radix_table.fill_rows(keys, labels1, plan, r0, r0 + self.rpc)
+        # host-side chunks: fill only row ranges owned by local devices
+        # (one fill per distinct local db coordinate; dp replicas share it)
+        self._host = []  # [cycle] -> {db_coord: (slots, labels)}
+        local_dbs = sorted({j for (_, j), _ in self.local})
+        for cyc in range(db_cycles):
+            chunks = {}
+            for j in local_dbs:
+                r0 = j * rpd + cyc * self.rpc
+                chunks[j] = radix_table.fill_rows(
+                    keys, labels1, plan, r0, r0 + self.rpc
                 )
             self._host.append(chunks)
         self.shard = NamedSharding(mesh, P(self.axis))
@@ -116,13 +136,11 @@ class ShardedRadixTable:
             x.shape, self.repl, arrs
         )
 
-    def _cycle_global(self, j):
-        import numpy as np
-
-        slots_shape = (self.ndev * self.rpc, self.c)
+    def _cycle_global(self, cyc):
+        slots_shape = (self.ndb * self.rpc, self.c)
         sarrs = [
-            jax.device_put(jnp.asarray(self._host[j][i][0]), d)
-            for i, (_, d) in enumerate(self.local)
+            jax.device_put(jnp.asarray(self._host[cyc][dbc][0]), d)
+            for (_, dbc), d in self.local
         ]
         slots = jax.make_array_from_single_device_arrays(
             slots_shape, self.shard, sarrs
@@ -134,9 +152,31 @@ class ShardedRadixTable:
             for _, d in self.local
         ]
         labels = jax.make_array_from_single_device_arrays(
-            (self.ndev, 1), self.shard, larrs
+            (self.ndb, 1), self.shard, larrs
         )
         return slots, labels
+
+    def _feed(self, x):
+        """Place one host batch array: replicated on a 1-D mesh; row-sharded
+        over 'dp' (padded to a multiple of ndp) on a 2-D mesh — every process
+        holds the identical host batch, so each fills its own devices'
+        slices."""
+        if self.axis_dp is None:
+            return self._replicated(x)
+        import numpy as np
+
+        x = np.asarray(x)
+        r = (-x.shape[0]) % self.ndp
+        if r:
+            x = np.concatenate([x, np.zeros((r,) + x.shape[1:], x.dtype)])
+        rloc = x.shape[0] // self.ndp
+        arrs = [
+            jax.device_put(jnp.asarray(x[dpc * rloc : (dpc + 1) * rloc]), d)
+            for (dpc, _), d in self.local
+        ]
+        return jax.make_array_from_single_device_arrays(
+            x.shape, NamedSharding(self.mesh, P(self.axis_dp)), arrs
+        )
 
     # ----------------------------------------------------------- execution
     def _fn(self, kind):
@@ -145,6 +185,7 @@ class ShardedRadixTable:
         from ..ops import device_pipeline, radix_table, score
 
         axis, k = self.axis, self.k
+        axis_dp = self.axis_dp
         m1, lb, c = self.m1, self.lb, self.c
         rpd, rpc = self.rpd, self.rpc
         n_targets = self.n_targets
@@ -186,9 +227,13 @@ class ShardedRadixTable:
             lab = jax.lax.psum(lab, axis)
             return lab.reshape(valid.shape)
 
+        # 2-D mode: batch in and per-read results out stay sharded over 'dp'
+        # (with make_mesh2d's column layout every process holds every dp
+        # shard, so np.asarray on the outputs works on all processes)
+        row_spec = P() if axis_dp is None else P(axis_dp)
         if kind == "counts":
             f = local_counts
-            out_specs = P()
+            out_specs = row_spec
         elif kind == "classify_top2":
             # non-extended fast path: skip the dense count matrix entirely
             def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
@@ -200,7 +245,7 @@ class ShardedRadixTable:
                     (lab.shape[0], 0), jnp.int32
                 )
 
-            out_specs = (P(), P(), P(), P(), P())
+            out_specs = (row_spec,) * 5
         else:
 
             def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
@@ -210,14 +255,15 @@ class ShardedRadixTable:
                 total, ib, b_, isb, sb = score.read_results(counts)
                 return total, ib, b_, sb, counts
 
-            out_specs = (P(), P(), P(), P(), P())
+            out_specs = (row_spec,) * 5
 
         jfn = jax.jit(
             shard_map(
                 f,
                 self.mesh,
                 in_specs=(
-                    P(self.axis), P(self.axis), P(), P(), P(), P(), P(),
+                    P(self.axis), P(self.axis), P(), P(),
+                    row_spec, row_spec, P(),
                 ),
                 out_specs=out_specs,
             )
@@ -236,7 +282,7 @@ class ShardedRadixTable:
             _, slots, labels, cyc = self._cur
             return self._fn("counts")(
                 slots, labels, self._sk, self._sl,
-                self._replicated(words), self._replicated(vwords), cyc,
+                self._feed(words), self._feed(vwords), cyc,
             )
 
         return counts_fn
@@ -252,7 +298,7 @@ class ShardedRadixTable:
         _, slots, labels, cyc = self._cur
         return self._fn("classify" if extended else "classify_top2")(
             slots, labels, self._sk, self._sl,
-            self._replicated(words), self._replicated(vwords), cyc,
+            self._feed(words), self._feed(vwords), cyc,
         )
 
 
@@ -403,7 +449,10 @@ def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
 
 
 def make_mesh2d(dp: int, db: int) -> Mesh:
-    """[dp, db] mesh over the first dp*db global devices."""
+    """[dp, db] mesh over the first dp*db global devices, column-major:
+    column j holds dp consecutive devices (one process's devices when
+    dp == devices-per-process), so the 'db' axis crosses process/DCN
+    boundaries and 'dp' stays within a process."""
     import numpy as np
 
     devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
@@ -411,7 +460,9 @@ def make_mesh2d(dp: int, db: int) -> Mesh:
         raise ValueError(
             f"mesh {dp}x{db} needs {dp * db} devices, have {len(devs)}"
         )
-    return Mesh(np.array(devs[: dp * db]).reshape(dp, db), ("dp", "db"))
+    return Mesh(
+        np.array(devs[: dp * db]).reshape(db, dp).T, ("dp", "db")
+    )
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "db") -> Mesh:

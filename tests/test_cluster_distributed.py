@@ -277,3 +277,115 @@ file = cluster_run.log
         clf.classify_file(str(tmp_path / f"{node}.fa"), str(want))
         got = (tmp_path / "results" / f"{node}_{node}.csv").read_bytes()
         assert got == (tmp_path / f"{node}_ref.csv").read_bytes(), node
+
+
+def test_two_process_2d_dpdb(tmp_path):
+    """2-D dp x db over processes: table rows sharded across the 2 processes
+    (db axis, DCN analogue) AND read rows across each process's 2 local CPU
+    devices (dp axis) — output byte-equal to single-process."""
+    rng = np.random.default_rng(55)
+    dbdir = tmp_path / "db"
+    (dbdir / "sub").mkdir(parents=True)
+    genomes = [rand_seq(rng, 500) for _ in range(3)]
+    with open(dbdir / "targets.txt", "w") as tf:
+        for i, g in enumerate(genomes):
+            p = dbdir / f"g{i}.fa"
+            write_fasta(p, [(f"g{i}", g)])
+            tf.write(f"{p} {900 + i}\n")
+    tax = dbdir / "taxonomy"
+    tax.mkdir()
+    with open(tax / "nodes.dmp", "w") as f:
+        f.write("1\t|\t1\t|\tno rank\t|\tX\t|\n")
+        for t in (900, 901, 902):
+            f.write(f"{t}\t|\t1\t|\tspecies\t|\tX\t|\n")
+    with open(tax / "names.dmp", "w") as f:
+        for t in (900, 901, 902):
+            f.write(f"{t}\t|\tSpecies {t}\t|\t\t|\tscientific name\t|\n")
+
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.database import DBConfig
+    from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    prof = params.tiny(htsize=2039, k=9)
+    targets = parse_targets(str(dbdir / "targets.txt"))
+    builder.build_database(targets, str(dbdir / "sub"), prof, 9)
+    DBConfig(
+        db_dir=str(dbdir), targets=str(dbdir / "targets.txt"),
+        subdb=str(dbdir / "sub"), rank=0, profile_name=prof.name, k=9,
+        gap=prof.default_gap, min_count_target=0, htsize=prof.htsize,
+        light=prof.light,
+    ).save()
+
+    with open(tmp_path / "sample.fa", "w") as f:
+        for i in range(40):
+            g = genomes[i % 3]
+            pos = rng.integers(0, len(g) - 70)
+            f.write(f">s_{i}\n{g[pos:pos+70]}\n")
+
+    port = free_port()
+    conf = tmp_path / "cluster.conf"
+    conf.write_text(
+        f"""[cluster]
+master = nodeA
+workers = nodeB
+backend = jax_distributed
+coordinator_address = 127.0.0.1:{port}
+
+[paths]
+cuclark_dir = {tmp_path}
+database = {dbdir}
+results_dir = results
+
+[classification]
+shard_db = true
+dp = 2
+
+[reads]
+nodeA = {tmp_path}/sample.fa
+
+[logging]
+level = info
+file = cluster_run.log
+"""
+    )
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CLARK_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    env["CLARK_TPU_NUM_PROCESSES"] = "2"
+    # two virtual CPU devices per process -> global mesh [dp=2, db=2]
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    procs = []
+    for pid in range(2):
+        e = dict(env)
+        e["CLARK_TPU_PROCESS_ID"] = str(pid)
+        e["CLARK_TPU_NODE_NAME"] = "nodeA" if pid == 0 else "nodeB"
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "jn_cuclark_tpu.cli", "cluster", "-c", str(conf)],
+                env=e,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            pytest.fail(f"2-D cluster process hung:\n{err.decode()[-2000:]}")
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    from jn_cuclark_tpu.engine import Classifier
+
+    clf = Classifier.load(str(dbdir / "sub"), targets, prof, 9)
+    clf.classify_file(str(tmp_path / "sample.fa"), str(tmp_path / "ref"))
+    got = (tmp_path / "results" / "nodeA_sample.csv").read_bytes()
+    assert got == (tmp_path / "ref.csv").read_bytes()
