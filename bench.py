@@ -199,7 +199,7 @@ def config2(state):
     rps, lps = _rate(clf, fa, k)
 
     # paired subset: mates drawn 200bp apart, merged with the native merger
-    n_pairs = int(os.environ.get("BENCH_C2_PAIRS", "8000"))
+    n_pairs = int(os.environ.get("BENCH_C2_PAIRS", "30000"))
     g = genomes[0]
     fq1, fq2 = [], []
     for i in range(n_pairs):
