@@ -319,16 +319,29 @@ def build_database(
         pg = np.zeros(max(len(all_labels), 1), dtype=np.int32)
         for i, lbl in enumerate(all_labels):
             pg[i] = pgid_map.setdefault((len(lbl), lbl[:-1]), len(pgid_map))
+        agg = None
         if device:
             from .device_build import aggregate_device
 
-            canon, L0, mult, count, first_seq = aggregate_device(
+            try:
+                agg = aggregate_device(canon_all, lbl_all, pg, lelement)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                # e.g. the remote AOT compile helper is OOM-killed for
+                # ~50M-element sorts; the host path is always available
+                if not use_native:
+                    raise
+                import sys
+
+                print(
+                    f"device aggregation failed ({type(e).__name__}); "
+                    "falling back to the native host build",
+                    file=sys.stderr,
+                )
+        if agg is None:
+            agg = native.aggregate_occurrences(
                 canon_all, lbl_all, pg, lelement
             )
-        else:
-            canon, L0, mult, count, first_seq = native.aggregate_occurrences(
-                canon_all, lbl_all, pg, lelement
-            )
+        canon, L0, mult, count, first_seq = agg
     else:
         cnt_all = np.concatenate(
             [

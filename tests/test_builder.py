@@ -276,3 +276,34 @@ def test_spectrum_input_build(tmp_path):
     # absent and the shared k-mer (mult 2) is removed by RemoveCommon
     want = {_canon_of_string(s): 0 for s in only1}
     assert got == want
+
+
+def test_device_build_falls_back_on_failure(tmp_path, monkeypatch, capsys):
+    """db build --device is best-effort: a backend failure (e.g. the remote
+    AOT compile helper OOM-killed on ~50M-element sorts) falls back to the
+    native host aggregation instead of failing the build."""
+    import numpy as np
+
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.db import builder, device_build
+    from jn_cuclark_tpu.io import dbformat
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    rng = np.random.default_rng(33)
+    write_fasta(tmp_path / "g.fa", [("g", rand_seq(rng, 500))])
+    (tmp_path / "targets.txt").write_text(f"{tmp_path}/g.fa 600\n")
+    targets = parse_targets(str(tmp_path / "targets.txt"))
+    prof = params.tiny(htsize=1021, k=9)
+
+    def boom(*a, **k):
+        raise RuntimeError("remote compile helper SIGKILL")
+
+    monkeypatch.setattr(device_build, "aggregate_device", boom)
+    db = builder.build_database(targets, str(tmp_path), prof, 9, device=True)
+    assert "falling back" in capsys.readouterr().err
+    stem = str(tmp_path / prof.db_stem(9, 1, 0, prof.default_gap))
+    assert dbformat.db_exists(stem)
+    d2 = tmp_path / "ref"
+    d2.mkdir()
+    ref = builder.build_database(targets, str(d2), prof, 9)
+    assert np.array_equal(db.canonical, ref.canonical)
