@@ -230,7 +230,7 @@ def _load_classifier(args):
         mesh = make_mesh(args.devices)
     return Classifier.load(
         cfg.subdb,
-        cfg.targets,
+        getattr(args, "targets", None) or cfg.targets,
         prof,
         k=args.k if args.k is not None else cfg.k,
         min_count_target=(
@@ -521,6 +521,9 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("classify", help="classify reads against a database")
     pc.add_argument("-D", "--db", required=True, help="database directory")
     pc.add_argument("-O", "--objects", help="reads file (or list of files)")
+    pc.add_argument("-T", "--targets", default=None,
+                    help="targets definition file (default: the one recorded "
+                    "by db set-targets in config.json)")
     pc.add_argument(
         "-P", "--paired", nargs=2, metavar=("R1", "R2"), help="paired-end FASTQ files"
     )
