@@ -501,11 +501,14 @@ class Classifier:
             (r0, r1), (total, ib, b, sb, counts) = entry
             nb = r1 - r0
             with maybe_phase("device_wait"):
-                total = np.asarray(total)[:nb]
-                ib = np.asarray(ib)[:nb]
-                b = np.asarray(b)[:nb]
-                sb = np.asarray(sb)[:nb]
-                counts_h = np.asarray(counts)[:nb] if extended else None
+                # ONE device_get round trip: separate np.asarray fetches cost
+                # a full tunnel round trip EACH on remote runtimes (measured
+                # 180 -> 139 ms/batch, +30% end-to-end)
+                fetched = jax.device_get(
+                    (total, ib, b, sb) + ((counts,) if extended else ())
+                )
+                total, ib, b, sb = (a[:nb] for a in fetched[:4])
+                counts_h = fetched[4][:nb] if extended else None
             with maybe_phase("format"):
                 return _native.format_rows(
                     data, ns[r0:r1], ne[r0:r1], total, ib, b, sb, norm[r0:r1],
@@ -602,11 +605,12 @@ class Classifier:
 
         def drain(entry):
             (r0, r1), (total, ib, b, sb, counts) = entry
-            total = np.asarray(total)
-            ib = np.asarray(ib)
-            b = np.asarray(b)
-            sb = np.asarray(sb)
-            counts_h = np.asarray(counts) if extended else None
+            # one round trip (see _classify_native.drain)
+            fetched = jax.device_get(
+                (total, ib, b, sb) + ((counts,) if extended else ())
+            )
+            total, ib, b, sb = fetched[:4]
+            counts_h = fetched[4] if extended else None
             for i in range(r1 - r0):
                 g = r0 + i
                 yield _format_row(
@@ -665,11 +669,11 @@ class Classifier:
                 self.keys, self.labels1, jnp.asarray(q), jnp.asarray(qr)
             )
             nb = r1 - r0
-            total = np.asarray(total)[:nb]
-            ib = np.asarray(ib)[:nb]
-            b = np.asarray(b)[:nb]
-            sb = np.asarray(sb)[:nb]
-            counts_h = np.asarray(counts)[:nb] if extended else None
+            fetched = jax.device_get(
+                (total, ib, b, sb) + ((counts,) if extended else ())
+            )
+            total, ib, b, sb = (a[:nb] for a in fetched[:4])
+            counts_h = fetched[4][:nb] if extended else None
 
             for i in range(nb):
                 g = r0 + i
