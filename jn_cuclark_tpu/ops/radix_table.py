@@ -319,9 +319,13 @@ def _stash_lookup(stash_keys, stash_labels, q):
 
 
 # queries per probe chunk: bounds the [chunk, C] gather/compare temporaries
-# (XLA materializes them; 2^21 x 128 u32 = 1 GB) so arbitrarily large batch
-# plans fit HBM — chunks run back-to-back under lax.map with no wall cost
-_PROBE_CHUNK = 1 << 21
+# so arbitrarily large batch plans fit HBM.  Measured on v5e: the lax.map
+# itself costs ~55 ms per batch at 8M queries REGARDLESS of chunk count
+# (2/4 chunks alike), while a single unchunked 2^23-query probe both fits
+# comfortably and runs 1.6x faster — so the threshold is set at 2^23
+# (= the production window budget, i.e. default plans never enter lax.map)
+# and only larger experimental plans pay for chunking.
+_PROBE_CHUNK = 1 << 23
 
 
 def _chunked_q(fn, q):
