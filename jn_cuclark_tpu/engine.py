@@ -482,7 +482,8 @@ class Classifier:
         norm = lengths - (NBN if paired else 0)
         names_buf = self._names_buffer()
 
-        def dispatch(r0, r1, stride, r_cap):
+        def dispatch(spec):
+            r0, r1, stride, r_cap = spec
             with maybe_phase("pack"):
                 words, vwords = _native.pack_batch(data, ss[r0:r1], se[r0:r1], stride)
                 if r1 - r0 < r_cap:
@@ -497,7 +498,7 @@ class Classifier:
                     jnp.asarray(words), jnp.asarray(vwords), extended=extended
                 )
 
-        def drain(entry):
+        def fetch(entry):
             (r0, r1), (total, ib, b, sb, counts) = entry
             nb = r1 - r0
             with maybe_phase("device_wait"):
@@ -507,8 +508,12 @@ class Classifier:
                 fetched = jax.device_get(
                     (total, ib, b, sb) + ((counts,) if extended else ())
                 )
-                total, ib, b, sb = (a[:nb] for a in fetched[:4])
-                counts_h = fetched[4][:nb] if extended else None
+            total, ib, b, sb = (a[:nb] for a in fetched[:4])
+            counts_h = fetched[4][:nb] if extended else None
+            return (r0, r1), total, ib, b, sb, counts_h
+
+        def fmt(got):
+            (r0, r1), total, ib, b, sb, counts_h = got
             with maybe_phase("format"):
                 return _native.format_rows(
                     data, ns[r0:r1], ne[r0:r1], total, ib, b, sb, norm[r0:r1],
@@ -517,14 +522,11 @@ class Classifier:
                     n_targets=self.n_targets if extended else 0,
                 )
 
-        DEPTH = self.plan.pipeline_depth
-        inflight: list = []
-        for spec in self._plan_batches(lengths):
-            inflight.append(dispatch(*spec))
-            if len(inflight) > DEPTH:
-                yield drain(inflight.pop(0))
-        for entry in inflight:
-            yield drain(entry)
+        # 3-stage pipeline: pack+dispatch thread -> fetch thread -> format
+        # here; each stage overlaps the others' blocked waits
+        entries = self._pipelined(self._plan_batches(lengths), dispatch)
+        for got in self._pipelined(entries, fetch, depth=2):
+            yield fmt(got)
 
     def _classify_cycled_native(self, data, ns, ne, ss, se, lengths, paired, extended):
         from .utils import native as _native
@@ -550,6 +552,64 @@ class Classifier:
         if not hasattr(self, "_names_buf"):
             self._names_buf = _native.NamesBuffer(self.target_names)
         return self._names_buf
+
+    # --------------------------------------------------- threaded pipelining
+    def _pipelined(self, items, fn, depth: int | None = None):
+        """Yield fn(item) in order, with fn running in a worker thread.
+
+        On remote runtimes a blocked `device_get` round trip does not overlap
+        host work issued from the same thread; moving a stage into its own
+        thread hides it behind the downstream stage's waits (the native
+        scan/pack/format calls and jax RPC waits are GIL-released ctypes/C
+        calls).  Calls CHAIN: wrapping one `_pipelined` around another builds
+        a multi-stage pipeline (pack+dispatch / fetch / format+yield) with
+        one thread and one bounded queue per stage; the queue bound is the
+        stage's depth (default BatchPlan.pipeline_depth)."""
+        import queue as _queue
+        import threading
+
+        if depth is None:
+            depth = self.plan.pipeline_depth
+        q: _queue.Queue = _queue.Queue(maxsize=max(depth, 1))
+        stop = threading.Event()
+        err: list[BaseException] = []
+        _SENTINEL = object()
+
+        def worker():
+            try:
+                for item in items:
+                    if stop.is_set():
+                        return
+                    entry = fn(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(entry, timeout=0.1)
+                            break
+                        except _queue.Full:
+                            pass
+            except BaseException as e:  # re-raised by the consumer
+                err.append(e)
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(_SENTINEL, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        pass
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                entry = q.get()
+                if entry is _SENTINEL:
+                    break
+                yield entry
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
+            t.join()
 
     # ------------------------------------------------------- packed pipeline
     def _plan_batches(self, lengths: np.ndarray):
@@ -585,7 +645,8 @@ class Classifier:
         n_reads = rs.n_reads
         names = [rs.name(i) for i in range(n_reads)]
 
-        def dispatch(r0, r1, stride, r_cap):
+        def dispatch(spec):
+            r0, r1, stride, r_cap = spec
             words, vwords = pack.pack_batch(rs, r0, r1, stride)
             if r1 - r0 < r_cap:  # pad rows to the tier's fixed shape
                 padw = np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)
@@ -597,20 +658,19 @@ class Classifier:
                 jnp.asarray(words), jnp.asarray(vwords), extended=extended
             )
 
-        # async pipeline: keep up to DEPTH batches in flight (jax dispatch is
-        # async; fetching np.asarray(...) blocks only the oldest batch)
-        DEPTH = self.plan.pipeline_depth
-        inflight: list = []
-        plan = self._plan_batches(lengths)
-
-        def drain(entry):
+        def fetch(entry):
             (r0, r1), (total, ib, b, sb, counts) = entry
-            # one round trip (see _classify_native.drain)
+            # one round trip (see _classify_native.fetch)
             fetched = jax.device_get(
                 (total, ib, b, sb) + ((counts,) if extended else ())
             )
-            total, ib, b, sb = fetched[:4]
             counts_h = fetched[4] if extended else None
+            return (r0, r1), fetched[:4], counts_h
+
+        entries = self._pipelined(self._plan_batches(lengths), dispatch)
+        for (r0, r1), (total, ib, b, sb), counts_h in self._pipelined(
+            entries, fetch, depth=2
+        ):
             for i in range(r1 - r0):
                 g = r0 + i
                 yield _format_row(
@@ -624,13 +684,6 @@ class Classifier:
                     self.target_names,
                     counts_h[i] if extended else None,
                 )
-
-        for spec in plan:
-            inflight.append(dispatch(*spec))
-            if len(inflight) > DEPTH:
-                yield from drain(inflight.pop(0))
-        for entry in inflight:
-            yield from drain(entry)
 
     # --------------------------------------------------------- flat pipeline
     def _classify_flat(self, rs: ReadSet, paired: bool, extended: bool):

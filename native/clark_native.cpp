@@ -35,6 +35,13 @@ static inline bool is_sep(uint8_t c) {
   return c == ' ' || c == '\t' || c == '\n';
 }
 
+// SIMD newline scan (glibc memchr): ~5x the byte loop on long lines
+static inline int64_t next_nl(const uint8_t* d, int64_t n, int64_t i) {
+  if (i >= n) return n;
+  const void* p = memchr(d + i, '\n', (size_t)(n - i));
+  return p ? (const uint8_t*)p - d : n;
+}
+
 int64_t scan_fasta(const uint8_t* d, int64_t n, int64_t cap,
                    int64_t* name_start, int64_t* name_end,
                    int64_t* seq_start, int64_t* seq_end, int64_t* length) {
@@ -49,7 +56,7 @@ int64_t scan_fasta(const uint8_t* d, int64_t n, int64_t cap,
       int64_t j = i + 2;  // reference pre-increments: first char always kept
       while (j < n && !is_sep(d[j])) ++j;
       name_end[r] = j < n ? j : n;
-      while (i < n && d[i] != '\n') ++i;
+      i = next_nl(d, n, i);
       ++i;
       seq_start[r] = i;
       seq_end[r] = i;
@@ -59,7 +66,7 @@ int64_t scan_fasta(const uint8_t* d, int64_t n, int64_t cap,
     }
     // sequence line for current record
     int64_t ls = i;
-    while (i < n && d[i] != '\n') ++i;
+    i = next_nl(d, n, i);
     if (r >= 0) {
       length[r] += i - ls;
       seq_end[r] = i;
@@ -82,19 +89,19 @@ int64_t scan_fastq(const uint8_t* d, int64_t n, int64_t cap,
     int64_t j = i + 2;
     while (j < n && !is_sep(d[j])) ++j;
     name_end[r] = j < n ? j : n;
-    while (i < n && d[i] != '\n') ++i;
+    i = next_nl(d, n, i);
     ++i;
     if (i >= n) break;
     // line 2: sequence
     seq_start[r] = i;
-    while (i < n && d[i] != '\n') ++i;
+    i = next_nl(d, n, i);
     seq_end[r] = i;
     length[r] = seq_end[r] - seq_start[r];
     ++i;
     // line 3 + 4
-    while (i < n && d[i] != '\n') ++i;
+    i = next_nl(d, n, i);
     ++i;
-    while (i < n && d[i] != '\n') ++i;
+    i = next_nl(d, n, i);
     ++i;
     ++r;
   }
@@ -246,8 +253,7 @@ static inline bool is_merge_sep(uint8_t c) {
 
 // [start, end) of the line beginning at p (end excludes '\n')
 static inline int64_t line_end(const uint8_t* d, int64_t n, int64_t p) {
-  while (p < n && d[p] != '\n') ++p;
-  return p;
+  return next_nl(d, n, p);
 }
 
 int64_t merge_paired_chunk(const uint8_t* d1, int64_t n1,
