@@ -298,16 +298,22 @@ def load_cache(path: str, signature: np.ndarray | None = None) -> RadixTable | N
 
 
 def _probe_rows(slots, qlow, b, lb):
-    """Match the query quotients against their gathered rows;
-    returns (hit, label+1)."""
+    """Match the query quotients against their gathered rows; returns
+    label+1 per query (0 = miss).
+
+    xor trick: slot = (quotient << lb) | (label+1), so
+    x = slot ^ (qlow << lb) equals label+1 (< 2^lb) exactly when the
+    quotients match, and >= 2^lb otherwise (any differing quotient bit
+    lands above lb; EMPTY's all-ones quotient field can never cancel —
+    see module docstring).  One xor + compare + select replaces the
+    shift/compare/mask/select chain (~7% on the v5e probe, u64 ops are
+    VPU-emulated)."""
     import jax.numpy as jnp
 
     rows = slots[b]  # [Q, C]
-    hit = (rows >> jnp.uint64(lb)) == qlow[:, None]
-    lab_mat = (rows & jnp.uint64((1 << lb) - 1)).astype(jnp.int32)
-    anyh = jnp.any(hit, axis=1)
-    lab = jnp.max(jnp.where(hit, lab_mat, 0), axis=1)
-    return anyh, lab
+    x = rows ^ (qlow << jnp.uint64(lb))[:, None]
+    hitlab = jnp.where(x < jnp.uint64(1 << lb), x, jnp.uint64(0))
+    return jnp.max(hitlab, axis=1).astype(jnp.int32)
 
 
 def _stash_lookup(stash_keys, stash_labels, q):
@@ -355,8 +361,7 @@ def probe(slots, labels, stash_keys, stash_labels, q, *, m1: int, lb: int, c: in
         mixed = qq * jnp.uint64(_MIX1)
         b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
         qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
-        anyh, lab = _probe_rows(slots, qlow, b, lb)
-        lab = jnp.where(anyh, lab, 0)
+        lab = _probe_rows(slots, qlow, b, lb)
         slab = _stash_lookup(stash_keys, stash_labels, qq)
         return jnp.maximum(lab, slab)
 
@@ -382,8 +387,8 @@ def probe_chunk(
         lrow = b - start_row
         inrange = (lrow >= 0) & (lrow < rows_per)
         lrow = jnp.clip(lrow, 0, rows_per - 1)
-        anyh, lab = _probe_rows(slots_blk, qlow, lrow, lb)
-        lab = jnp.where(anyh & inrange, lab, 0)
+        lab = _probe_rows(slots_blk, qlow, lrow, lb)
+        lab = jnp.where(inrange, lab, 0)
         slab = _stash_lookup(stash_keys, stash_labels, qq)
         slab = jnp.where(use_stash, slab, 0)
         return jnp.maximum(lab, slab)
