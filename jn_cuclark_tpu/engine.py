@@ -333,16 +333,44 @@ class Classifier:
         first = next(slabs, None)
         if first is not None:
             slabs = itertools.chain([first], slabs)
+
+        from .utils import native as _native
+
+        use_native = self.packed and self.use_native and _native.available()
+        if use_native and first is not None:
+            # prefetch + scan slab i+1 (mmap page-in, merge, record scan) in
+            # a worker thread while slab i classifies; the scan stops being
+            # a serial per-slab prologue
+            def scan_stage(slab):
+                with maybe_phase("scan"):
+                    return slab, _native.scan_reads(slab)
+
+            scanned = self._pipelined(slabs, scan_stage, depth=1)
+        else:
+            scanned = ((s, None) for s in slabs) if first is not None else iter(())
         with open(out, "wb") as f:
             f.write(self._header(extended))
-            if first is not None:
-                for slab in slabs:
+            for slab, scn in scanned:
+                if scn is not None:
+                    is_fa, ns, ne, ss, se, ln = scn
+                    if self.db_cycles > 1:
+                        gen = self._classify_cycled_native(
+                            slab, ns, ne, ss, se, ln,
+                            paired=paired, extended=extended,
+                        )
+                    else:
+                        gen = self._classify_native(
+                            slab, ns, ne, ss, se, ln,
+                            paired=paired, extended=extended,
+                        )
+                    nr = len(ln)
+                else:
                     gen, nr = self.classify_bytes(
                         slab, paired=paired, extended=extended
                     )
-                    for chunk in gen:
-                        f.write(chunk)
-                    n_reads += nr
+                for chunk in gen:
+                    f.write(chunk)
+                n_reads += nr
         dt = time.time() - t0
         stats = {
             "reads": n_reads,
