@@ -60,6 +60,13 @@ class BatchPlan:
     # ~85ms per-call round-trip latency (measured: device 67ms/batch but
     # 180ms/batch blocked at depth 2 on the axon relay; depth 5-8 gains
     # +20-60% end-to-end depending on tunnel load)
+    fetch_group: int = 4  # batches per device_get in the non-extended native
+    # path: every device_get is a full tunnel round trip, so fetching G
+    # batches' (tiny) result rows in ONE call removes G-1 round trips
+    # (measured interleaved A/B at 7x[43690 x 192]: per-batch fetch 202k r/s,
+    # group-of-all 287k, pairs 262k).  Extended mode always fetches
+    # per batch — its dense counts are ~87 MB/batch and grouping would
+    # hold G of them on device and host.
 
 
 class Classifier:
@@ -526,19 +533,26 @@ class Classifier:
                     jnp.asarray(words), jnp.asarray(vwords), extended=extended
                 )
 
-        def fetch(entry):
-            (r0, r1), (total, ib, b, sb, counts) = entry
-            nb = r1 - r0
+        def fetch_group(group):
+            # ONE device_get round trip for the whole group: every
+            # device_get is a full tunnel round trip on remote runtimes, so
+            # per-batch fetches cost one unhidden round trip EACH (measured
+            # 180 -> 139 ms/batch for merging a batch's arrays, then
+            # 202k -> 262-287k reads/s for grouping batches)
             with maybe_phase("device_wait"):
-                # ONE device_get round trip: separate np.asarray fetches cost
-                # a full tunnel round trip EACH on remote runtimes (measured
-                # 180 -> 139 ms/batch, +30% end-to-end)
                 fetched = jax.device_get(
-                    (total, ib, b, sb) + ((counts,) if extended else ())
+                    [
+                        (total, ib, b, sb) + ((counts,) if extended else ())
+                        for _, (total, ib, b, sb, counts) in group
+                    ]
                 )
-            total, ib, b, sb = (a[:nb] for a in fetched[:4])
-            counts_h = fetched[4][:nb] if extended else None
-            return (r0, r1), total, ib, b, sb, counts_h
+            out = []
+            for ((r0, r1), _), arrs in zip(group, fetched):
+                nb = r1 - r0
+                total, ib, b, sb = (a[:nb] for a in arrs[:4])
+                counts_h = arrs[4][:nb] if extended else None
+                out.append(((r0, r1), total, ib, b, sb, counts_h))
+            return out
 
         def fmt(got):
             (r0, r1), total, ib, b, sb, counts_h = got
@@ -552,9 +566,11 @@ class Classifier:
 
         # 3-stage pipeline: pack+dispatch thread -> fetch thread -> format
         # here; each stage overlaps the others' blocked waits
+        g = 1 if extended else max(self.plan.fetch_group, 1)
         entries = self._pipelined(self._plan_batches(lengths), dispatch)
-        for got in self._pipelined(entries, fetch, depth=2):
-            yield fmt(got)
+        for got_group in self._pipelined(_grouped(entries, g), fetch_group, depth=2):
+            for got in got_group:
+                yield fmt(got)
 
     def _classify_cycled_native(self, data, ns, ne, ss, se, lengths, paired, extended):
         from .utils import native as _native
@@ -770,6 +786,18 @@ class Classifier:
                     counts_h[i] if extended else None,
                 )
             r0 = r1
+
+
+def _grouped(it, n: int):
+    """Yield lists of up to n consecutive items from it (last may be short)."""
+    buf = []
+    for x in it:
+        buf.append(x)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
 
 
 def _format_row(
