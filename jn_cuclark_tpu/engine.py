@@ -60,6 +60,11 @@ class BatchPlan:
     # ~85ms per-call round-trip latency (measured: device 67ms/batch but
     # 180ms/batch blocked at depth 2 on the axon relay; depth 5-8 gains
     # +20-60% end-to-end depending on tunnel load)
+    scan_chunk_bytes: int = 8 << 20  # streamed-scan granularity (native path):
+    # the record scan runs in a background thread in chunks of this size, so
+    # the first batch dispatches after ~one chunk's scan (~20 ms) instead of
+    # after the whole input's (~120 ms per 300k reads) and the rest of the
+    # scan hides behind device compute
     fetch_group: int = 4  # batches per device_get in the non-extended native
     # path: every device_get is a full tunnel round trip, so fetching G
     # batches' (tiny) result rows in ONE call removes G-1 round trips
@@ -67,6 +72,88 @@ class BatchPlan:
     # group-of-all 287k, pairs 262k).  Extended mode always fetches
     # per batch — its dense counts are ~87 MB/batch and grouping would
     # hold G of them on device and host.
+
+
+class _ScanStream:
+    """Record scan of an in-memory FASTA/FASTQ buffer, streamed from a
+    background thread in record-aligned chunks (native scanner per chunk,
+    offsets fixed up to be absolute) so batch planning/dispatch starts after
+    the FIRST chunk instead of after the whole input.  Produces byte-for-byte
+    the same per-read arrays as one whole-buffer `native.scan_reads`."""
+
+    def __init__(self, data: bytes, chunk_bytes: int = 8 << 20):
+        import threading
+
+        from .io.fasta import iter_record_cuts
+        from .utils import native as _native
+
+        self._parts: list[tuple] = []  # (ns, ne, ss, se, ln) per chunk
+        self._cum: list[int] = [0]  # cumulative read counts
+        self._done = False
+        self._err: BaseException | None = None
+        self._cond = threading.Condition()
+
+        def run():
+            try:
+                buf = np.frombuffer(data, np.uint8)
+                is_fq = data[0:1] == b"@"
+                for s, e in iter_record_cuts(buf, is_fq, chunk_bytes):
+                    with maybe_phase("scan"):
+                        part = _native.scan_reads(data, s, e)[1:]
+                    with self._cond:
+                        self._parts.append(part)
+                        self._cum.append(self._cum[-1] + len(part[4]))
+                        self._cond.notify_all()
+            except BaseException as e:  # re-raised by readers
+                self._err = e
+            finally:
+                with self._cond:
+                    self._done = True
+                    self._cond.notify_all()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def ensure(self, n: int) -> int:
+        """Block until ≥n reads are scanned (or the scan finished); return
+        the scanned count so far (≥n unless the input is exhausted)."""
+        with self._cond:
+            while self._cum[-1] < n and not self._done:
+                self._cond.wait()
+            if self._err is not None:
+                raise self._err
+            return self._cum[-1]
+
+    def total(self) -> int:
+        with self._cond:
+            while not self._done:
+                self._cond.wait()
+            if self._err is not None:
+                raise self._err
+            return self._cum[-1]
+
+    def arrays(self, r0: int, r1: int):
+        """(ns, ne, ss, se, ln) for reads [r0, r1) — caller must have
+        ensure()d r1 first."""
+        import bisect
+
+        with self._cond:
+            lo = bisect.bisect_right(self._cum, r0) - 1
+            hi = bisect.bisect_left(self._cum, r1, lo=lo)
+            pieces = self._parts[lo:hi]
+            starts = self._cum[lo : hi + 1]
+        if len(pieces) == 1:
+            a, b = r0 - starts[0], r1 - starts[0]
+            return tuple(p[a:b] for p in pieces[0])
+        out = []
+        for f in range(5):
+            segs = []
+            for pi, p in enumerate(pieces):
+                a = max(r0 - starts[pi], 0)
+                b = min(r1, starts[pi + 1]) - starts[pi]
+                segs.append(p[f][a:b])
+            out.append(np.concatenate(segs))
+        return tuple(out)
 
 
 class Classifier:
@@ -291,17 +378,22 @@ class Classifier:
         from .utils import native as _native
 
         if self.packed and self.use_native and _native.available():
-            with maybe_phase("scan"):
-                is_fa, ns, ne, ss, se, ln = _native.scan_reads(data)
             if self.db_cycles > 1:
+                with maybe_phase("scan"):
+                    is_fa, ns, ne, ss, se, ln = _native.scan_reads(data)
                 gen = self._classify_cycled_native(
                     data, ns, ne, ss, se, ln, paired=paired, extended=extended
                 )
-            else:
-                gen = self._classify_native(
-                    data, ns, ne, ss, se, ln, paired=paired, extended=extended
-                )
-            return gen, len(ln)
+                return gen, len(ln)
+            # n_reads from an exact substring-count (parity-tested against
+            # the scanner) so the record scan itself can stream in the
+            # background and overlap batch dispatch/compute
+            n_reads = _native.quick_count(data)
+            scan = _ScanStream(data, self.plan.scan_chunk_bytes)
+            gen = self._classify_native(
+                data, scan, paired=paired, extended=extended
+            )
+            return gen, n_reads
         rs = parse_reads(data)
         return self._classify_readset(rs, paired=paired, extended=extended), rs.n_reads
 
@@ -344,15 +436,19 @@ class Classifier:
         from .utils import native as _native
 
         use_native = self.packed and self.use_native and _native.available()
-        if use_native and first is not None:
-            # prefetch + scan slab i+1 (mmap page-in, merge, record scan) in
-            # a worker thread while slab i classifies; the scan stops being
-            # a serial per-slab prologue
+        if use_native and first is not None and self.db_cycles > 1:
+            # cycled path wants whole-slab arrays: prefetch + scan slab i+1
+            # in a worker thread while slab i classifies
             def scan_stage(slab):
                 with maybe_phase("scan"):
                     return slab, _native.scan_reads(slab)
 
             scanned = self._pipelined(slabs, scan_stage, depth=1)
+        elif use_native and first is not None:
+            # slab i+1 materializes (mmap page-in / paired merge) in a worker
+            # thread while slab i classifies; the record scan itself streams
+            # inside _classify_native
+            scanned = self._pipelined(slabs, lambda s: (s, None), depth=1)
         else:
             scanned = ((s, None) for s in slabs) if first is not None else iter(())
         with open(out, "wb") as f:
@@ -360,24 +456,24 @@ class Classifier:
             for slab, scn in scanned:
                 if scn is not None:
                     is_fa, ns, ne, ss, se, ln = scn
-                    if self.db_cycles > 1:
-                        gen = self._classify_cycled_native(
-                            slab, ns, ne, ss, se, ln,
-                            paired=paired, extended=extended,
-                        )
-                    else:
-                        gen = self._classify_native(
-                            slab, ns, ne, ss, se, ln,
-                            paired=paired, extended=extended,
-                        )
+                    gen = self._classify_cycled_native(
+                        slab, ns, ne, ss, se, ln,
+                        paired=paired, extended=extended,
+                    )
                     nr = len(ln)
+                elif use_native:
+                    scan = _ScanStream(slab, self.plan.scan_chunk_bytes)
+                    gen = self._classify_native(
+                        slab, scan, paired=paired, extended=extended
+                    )
+                    nr = None
                 else:
                     gen, nr = self.classify_bytes(
                         slab, paired=paired, extended=extended
                     )
                 for chunk in gen:
                     f.write(chunk)
-                n_reads += nr
+                n_reads += scan.total() if nr is None else nr
         dt = time.time() - t0
         stats = {
             "reads": n_reads,
@@ -509,18 +605,23 @@ class Classifier:
             )
 
     # ---------------------------------------------------- native host path
-    def _classify_native(self, data, ns, ne, ss, se, lengths, paired, extended):
-        """Host side fully in C++ (scan/pack/format); device step unchanged."""
+    def _classify_native(self, data, scan: _ScanStream, paired, extended):
+        """Host side fully in C++ (scan/pack/format); device step unchanged.
+
+        The record scan streams from `scan`'s background thread; the batch
+        planner blocks (inside the dispatch worker thread) only until the
+        reads of the batch it is about to emit are scanned."""
         from .utils import native as _native
 
         k = self.k
-        norm = lengths - (NBN if paired else 0)
+        nbn = NBN if paired else 0
         names_buf = self._names_buffer()
 
         def dispatch(spec):
             r0, r1, stride, r_cap = spec
+            ns, ne, ss, se, ln = scan.arrays(r0, r1)
             with maybe_phase("pack"):
-                words, vwords = _native.pack_batch(data, ss[r0:r1], se[r0:r1], stride)
+                words, vwords = _native.pack_batch(data, ss, se, stride)
                 if r1 - r0 < r_cap:
                     words = np.concatenate(
                         [words, np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)]
@@ -529,7 +630,7 @@ class Classifier:
                         [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
                     )
             with maybe_phase("dispatch"):
-                return (r0, r1), self.batch_fn(
+                return ((r0, r1), (ns, ne, ln)), self.batch_fn(
                     jnp.asarray(words), jnp.asarray(vwords), extended=extended
                 )
 
@@ -547,18 +648,19 @@ class Classifier:
                     ]
                 )
             out = []
-            for ((r0, r1), _), arrs in zip(group, fetched):
+            for (meta, _), arrs in zip(group, fetched):
+                (r0, r1), _ = meta
                 nb = r1 - r0
                 total, ib, b, sb = (a[:nb] for a in arrs[:4])
                 counts_h = arrs[4][:nb] if extended else None
-                out.append(((r0, r1), total, ib, b, sb, counts_h))
+                out.append((meta, total, ib, b, sb, counts_h))
             return out
 
         def fmt(got):
-            (r0, r1), total, ib, b, sb, counts_h = got
+            ((r0, r1), (ns, ne, ln)), total, ib, b, sb, counts_h = got
             with maybe_phase("format"):
                 return _native.format_rows(
-                    data, ns[r0:r1], ne[r0:r1], total, ib, b, sb, norm[r0:r1],
+                    data, ns, ne, total, ib, b, sb, ln - nbn,
                     k, names_buf,
                     counts=counts_h,
                     n_targets=self.n_targets if extended else 0,
@@ -567,7 +669,7 @@ class Classifier:
         # 3-stage pipeline: pack+dispatch thread -> fetch thread -> format
         # here; each stage overlaps the others' blocked waits
         g = 1 if extended else max(self.plan.fetch_group, 1)
-        entries = self._pipelined(self._plan_batches(lengths), dispatch)
+        entries = self._pipelined(self._plan_batches_stream(scan), dispatch)
         for got_group in self._pipelined(_grouped(entries, g), fetch_group, depth=2):
             for got in got_group:
                 yield fmt(got)
@@ -675,6 +777,33 @@ class Classifier:
             while True:
                 r1 = min(r0 + r_cap, n_reads)
                 s2 = pack.quantized_stride(int(lengths[r0:r1].max()))
+                if s2 <= stride:
+                    break
+                stride = s2
+                r_cap = max(min(self.plan.max_reads, budget // stride), 1)
+            yield r0, r1, stride, r_cap
+            r0 = r1
+
+    def _plan_batches_stream(self, scan: _ScanStream):
+        """_plan_batches over a streaming scan: identical decisions (the
+        lookahead is exactly the candidate batch), blocking only until the
+        batch about to be emitted has been scanned."""
+        budget = self.plan.window_budget
+        r0 = 0
+        while True:
+            if scan.ensure(r0 + 1) <= r0:
+                return  # input exhausted
+            (first_len,) = scan.arrays(r0, r0 + 1)[4]
+            stride = pack.quantized_stride(max(int(first_len), 1))
+            if stride > budget:
+                raise RuntimeError(
+                    f"read of length {first_len} exceeds window budget {budget}"
+                )
+            r_cap = max(min(self.plan.max_reads, budget // stride), 1)
+            while True:
+                avail = scan.ensure(r0 + r_cap)
+                r1 = min(r0 + r_cap, avail)
+                s2 = pack.quantized_stride(int(scan.arrays(r0, r1)[4].max()))
                 if s2 <= stride:
                     break
                 stride = s2

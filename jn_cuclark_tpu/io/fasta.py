@@ -192,6 +192,35 @@ def window_starts(rs: ReadSet, k: int) -> tuple[np.ndarray, np.ndarray]:
     return starts[ok], rid[ok]
 
 
+def iter_record_cuts(buf: np.ndarray, is_fq: bool, chunk_bytes: int):
+    """Yield (start, end) record-aligned chunk bounds of an in-memory
+    FASTA/FASTQ uint8 buffer (same cut rule as iter_record_slabs: FASTA
+    before a '>' header line, FASTQ at line-phase 0), so each chunk can be
+    scanned independently with identical results."""
+    n = len(buf)
+    pos = 0
+    while pos < n:
+        want = chunk_bytes
+        while True:
+            end = min(pos + want, n)
+            if end == n:
+                cut = n
+                break
+            seg = buf[pos:end]
+            nl = np.nonzero(seg == ord("\n"))[0]
+            if is_fq:
+                cand = nl[3::4]
+            else:
+                after = nl[nl + 1 < len(seg)] + 1
+                cand = after[seg[after] == ord(">")] - 1
+            if len(cand):
+                cut = pos + int(cand[-1]) + 1
+                break
+            want *= 2  # record larger than the chunk: widen
+        yield pos, cut
+        pos = cut
+
+
 def iter_record_slabs(path: str, slab_bytes: int = 1 << 28):
     """Yield record-aligned byte slabs of a FASTA/FASTQ file.
 

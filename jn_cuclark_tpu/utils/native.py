@@ -72,20 +72,28 @@ def _p(a, tp):
     return a.ctypes.data_as(tp)
 
 
-def scan_reads(data: bytes):
-    """(is_fasta, name_start, name_end, seq_start, seq_end, length)."""
+def scan_reads(data: bytes, start: int = 0, end: int | None = None):
+    """(is_fasta, name_start, name_end, seq_start, seq_end, length).
+
+    With start/end, scans only data[start:end] (which must begin at a record
+    boundary — a '>' header line or FASTQ line-phase 0) WITHOUT copying;
+    returned offsets are absolute into `data`."""
     lib = _load()
-    arr, dp = _u8(data)
-    n = len(arr)
-    if n == 0:
+    arr, _ = _u8(data)
+    if end is None:
+        end = len(arr)
+    n = end - start
+    if n <= 0:
         raise ValueError("empty input file")
-    first = data[0:1]
+    seg = arr[start:end]
+    dp = seg.ctypes.data_as(_U8P)
+    first = bytes(seg[:1])
     if first == b">":
         fn, is_fasta = lib.scan_fasta, True
-        cap = data.count(b">") + 16
+        cap = int(np.count_nonzero(seg == ord(">"))) + 16
     elif first == b"@":
         fn, is_fasta = lib.scan_fastq, False
-        cap = data.count(b"\n") // 4 + 16
+        cap = int(np.count_nonzero(seg == ord("\n"))) // 4 + 16
     else:
         raise ValueError("failed to recognize the format of the file")
     while True:
@@ -102,7 +110,30 @@ def scan_reads(data: bytes):
         if r < 0:
             raise ValueError("scan failed")
         break
+    if start:
+        for a in (ns, ne, ss, se):
+            a += start
     return is_fasta, ns[:r], ne[:r], ss[:r], se[:r], ln[:r]
+
+
+def quick_count(data: bytes) -> int:
+    """Exact record count of a FASTA/FASTQ buffer via substring counts only.
+
+    Reproduces the scanners' record rules (scan_fasta: one record per '>' at
+    line start; scan_fastq: one record per 4-line group whose sequence line
+    START exists — truncated trailing header+sequence kept, lone header
+    dropped) so `classify_bytes` can report n_reads before the streamed scan
+    finishes.  Parity with scan_reads is regression-tested."""
+    if not data:
+        raise ValueError("empty input file")
+    first = data[0:1]
+    if first == b">":
+        return data.count(b"\n>") + 1
+    if first == b"@":
+        nl = data.count(b"\n")
+        line_starts = 1 + nl - (1 if data.endswith(b"\n") else 0)
+        return (line_starts + 2) // 4
+    raise ValueError("failed to recognize the format of the file")
 
 
 def pack_batch(data: bytes, seq_start: np.ndarray, seq_end: np.ndarray, stride: int):

@@ -6,7 +6,7 @@ reference mmap scan CuCLARK_hh.hh:522-539, mergePairedFiles file.cc:205-268).
 import numpy as np
 import pytest
 
-from jn_cuclark_tpu.engine import Classifier
+from jn_cuclark_tpu.engine import BatchPlan, Classifier
 from jn_cuclark_tpu.io.fasta import (
     _merge_paired_py,
     iter_merged_slabs,
@@ -201,3 +201,100 @@ def test_classify_file_bad_input_preserves_existing_results(setup, tmp_path):  #
     with pytest.raises(ValueError, match="read id"):
         clf.classify_file(str(f1), str(res), paired_path=str(f2))
     assert (tmp_path / "keep.csv").read_bytes() == precious
+
+
+# ------------------------------------------------- streamed in-memory scan
+_QC_CASES = [
+    b">a\nACGT\n",
+    b">a\nACGT",  # no trailing newline
+    b">a\nAC\nGT\n>b\nTTTT\n",  # multi-line records
+    b">",  # header only
+    b">x\n",
+    b">x\n\n>y\nA\n",  # empty sequence lines
+    b"@r1\nACGT\n+\nIIII\n",
+    b"@r1\nACGT\n+\nIIII",  # no trailing newline
+    b"@r1\nACGT\n+\nIIII\n@r2\nAC\n+\nII\n",
+    b"@r1\nACGT\n",  # truncated: header+seq kept (ADVICE parity rule)
+    b"@r1\nACGT\n+\n",  # truncated after plus line
+    b"@r1\nACGT\n+",  # plus line unterminated
+    b"@r1\n",  # lone header with newline: no seq line start -> dropped
+    b"@r1",  # lone header, unterminated
+    b"@r1\n\n+\n\n",  # empty seq/qual lines
+]
+
+
+@pytest.mark.parametrize("data", _QC_CASES, ids=range(len(_QC_CASES)))
+def test_quick_count_matches_scanner(data):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    try:
+        n = len(native.scan_reads(data)[5])
+    except ValueError:
+        with pytest.raises(ValueError):
+            native.quick_count(data)
+        return
+    assert native.quick_count(data) == n, data
+
+
+@pytest.mark.parametrize("kind", ["fasta", "fastq"])
+def test_quick_count_randomized(kind):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        data = (make_fasta if kind == "fasta" else make_fastq)(
+            rng, int(rng.integers(1, 40))
+        )
+        # random truncation exercises every partial-record shape
+        if trial % 2:
+            data = data[: int(rng.integers(1, len(data)))]
+        if data[:1] not in (b">", b"@"):
+            continue
+        assert native.quick_count(data) == len(native.scan_reads(data)[5]), data
+
+
+@pytest.mark.parametrize("kind", ["fasta", "fastq"])
+@pytest.mark.parametrize("chunk", [64, 257, 1 << 14])
+def test_scan_stream_matches_whole_scan(kind, chunk):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from jn_cuclark_tpu.engine import _ScanStream
+
+    rng = np.random.default_rng(31)
+    data = (make_fasta if kind == "fasta" else make_fastq)(rng, 60)
+    whole = native.scan_reads(data)[1:]
+    scan = _ScanStream(data, chunk_bytes=chunk)
+    n = scan.total()
+    assert n == len(whole[4])
+    got = scan.arrays(0, n)
+    for a, b in zip(got, whole):
+        np.testing.assert_array_equal(a, b)
+    # random sub-slices (spanning chunk boundaries) match too
+    for _ in range(10):
+        r0 = int(rng.integers(0, n))
+        r1 = int(rng.integers(r0, n)) + 1
+        got = scan.arrays(r0, r1)
+        for a, b in zip(got, whole):
+            np.testing.assert_array_equal(a, b[r0:r1])
+
+
+def test_classify_scan_chunk_parity(setup):  # noqa: F811
+    """classify_bytes output and n_reads are independent of the streamed
+    scan chunk size (tiny chunks force many chunk-boundary batches)."""
+    dbdir, tpath, prof, targets, genomes, reads = setup
+    fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
+    ref_clf = Classifier.load(str(dbdir), targets, prof, K)
+    gen, n_ref = ref_clf.classify_bytes(fa)
+    ref = b"".join(gen)
+    assert n_ref == len(reads)
+    small = Classifier.load(
+        str(dbdir), targets, prof, K,
+        plan=BatchPlan(scan_chunk_bytes=512),
+    )
+    gen, n_small = small.classify_bytes(fa)
+    assert b"".join(gen) == ref
+    assert n_small == len(reads)
+    # extended mode too (per-batch fetch path)
+    a = b"".join(ref_clf.classify_bytes(fa, extended=True)[0])
+    b = b"".join(small.classify_bytes(fa, extended=True)[0])
+    assert a == b
