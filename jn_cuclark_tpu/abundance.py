@@ -52,12 +52,48 @@ def estimate(
     """getAbundance.cc main flow."""
     if high_confidence:
         min_confidence, min_gamma = 0.75, 0.03
+    from .utils import native as _native
+
     label_index: dict[str, int] = {}
     labels: list[str] = []
     counts: list[int] = []
     total = 0
     first = True
+
+    def tally(lbl: str, c: int):
+        i = label_index.get(lbl)
+        if i is None:
+            label_index[lbl] = len(labels)
+            labels.append(lbl)
+            counts.append(c)
+        else:
+            counts[i] += c
+
     for path in csv_files:
+        if _native.available():
+            # native one-pass scan (~10x the line loop on multi-M-read CSVs);
+            # returns None on anything it cannot replicate exactly
+            data = open(path, "rb").read()
+            nlpos = data.find(b"\n")
+            if nlpos >= 0:
+                try:
+                    hdr = data[: nlpos + 1].decode()
+                except UnicodeDecodeError:
+                    hdr = None
+                if hdr is not None:
+                    if first:
+                        ncols = len([e for e in _split_csv(hdr) if e])
+                        idx = 2 if ncols == 3 else ncols - 3
+                        first = False
+                    res = _native.abundance_scan(
+                        data[nlpos + 1 :], idx, min_gamma, min_confidence
+                    )
+                    if res is not None:
+                        lbls, cnts, tot = res
+                        total += tot
+                        for lbl, c in zip(lbls, cnts):
+                            tally(lbl, int(c))
+                        continue
         with open(path) as f:
             header = f.readline()
             if first:
@@ -80,13 +116,7 @@ def estimate(
                         admissible = False
                     if not admissible:
                         lbl = "NA"
-                i = label_index.get(lbl)
-                if i is None:
-                    label_index[lbl] = len(labels)
-                    labels.append(lbl)
-                    counts.append(1)
-                else:
-                    counts[i] += 1
+                tally(lbl, 1)
 
     names = list(labels)
     lineages: list[list] = [[] for _ in labels]

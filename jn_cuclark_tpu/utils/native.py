@@ -55,6 +55,14 @@ def _load():
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, _I64P,
         ctypes.c_char_p, ctypes.c_int64,
     ]
+    try:
+        lib.abundance_scan.restype = ctypes.c_int64
+        lib.abundance_scan.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, _U64P,
+        ]
+    except AttributeError:  # stale .so without the symbol
+        pass
     _lib = lib
     return lib
 
@@ -149,6 +157,40 @@ def pack_batch(data: bytes, seq_start: np.ndarray, seq_end: np.ndarray, stride: 
     lib.pack_batch(dp, nreads, _p(ss, _I64P), _p(se, _I64P), stride,
                    _p(words, _U64P), _p(vwords, _U64P))
     return words, vwords
+
+
+def abundance_scan(body: bytes, idx: int, min_gamma: float, min_conf: float):
+    """(labels, counts, total) of a classification-CSV body, or None when
+    the native fast path cannot replicate the Python semantics exactly
+    (labels >8 bytes / NUL, header quirks).  Labels are returned in
+    first-appearance order, matching abundance.estimate's dict order."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "abundance_scan"):
+        return None
+    arr, dp = _u8(body)
+    n = len(arr)
+    if n == 0:
+        return [], np.zeros(0, np.int64), 0
+    cap = int(np.count_nonzero(arr == ord("\n"))) + int(
+        np.count_nonzero(arr == ord("\r"))
+    ) + 1
+    keys = np.empty(cap, np.uint64)
+    total = lib.abundance_scan(
+        dp, n, idx, float(min_gamma), float(min_conf), _p(keys, _U64P)
+    )
+    if total < 0:
+        return None
+    keys = keys[:total]
+    uniq, first, counts = np.unique(keys, return_index=True, return_counts=True)
+    order = np.argsort(first, kind="stable")
+    try:
+        labels = [
+            int(u).to_bytes(8, "little").rstrip(b"\x00").decode()
+            for u in uniq[order]
+        ]
+    except UnicodeDecodeError:  # non-UTF8 label: Python path decides
+        return None
+    return labels, counts[order], int(total)
 
 
 class NamesBuffer:

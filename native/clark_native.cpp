@@ -488,6 +488,89 @@ int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
   return ng + 1;
 }
 
+// ------------------------------------------------------- abundance scan
+//
+// One pass over a classification-CSV body (header already consumed by the
+// caller), replicating getAbundance.cc's per-line filter (via the Python
+// reference semantics in abundance.estimate): fields are non-empty runs
+// between [,\t\r\n]; a line with no fields is skipped; the assignment label
+// is field[idx], demoted to "NA" when the line has >3 fields and
+// float(field[idx-1]) < min_gamma or float(field[idx+2]) < min_conf (or
+// either fails to parse / is missing).  Labels are returned as uint64 keys
+// (label bytes, little-endian, zero-padded); missing-label lines get the
+// key for "NA".  Returns the number of counted lines, or -1 when a label
+// exceeds 8 bytes or contains NUL (caller falls back to the Python path).
+
+static const uint64_t NA_KEY = (uint64_t)'N' | ((uint64_t)'A' << 8);
+
+// Python float(): optional spaces, then a full-string number; strtod minus
+// hex floats.  Returns false when the field is not a valid float.
+static bool parse_float_field(const uint8_t* s, int64_t len, double* out) {
+  char buf[64];
+  if (len <= 0 || len >= (int64_t)sizeof(buf)) return false;
+  for (int64_t i = 0; i < len; i++) {
+    if (s[i] == 'x' || s[i] == 'X' || s[i] == '\0') return false;  // hex/NUL
+  }
+  memcpy(buf, s, (size_t)len);
+  buf[len] = '\0';
+  char* end = nullptr;
+  double v = strtod(buf, &end);
+  if (end == buf) return false;
+  while (*end == ' ') ++end;  // trailing spaces ok (Python float())
+  if (*end != '\0') return false;
+  *out = v;
+  return true;
+}
+
+int64_t abundance_scan(const uint8_t* d, int64_t n, int64_t idx,
+                       double min_gamma, double min_conf, uint64_t* keys) {
+  if (idx < 2) return -1;  // negative-index header quirk: Python path
+  int64_t total = 0;
+  int64_t i = 0;
+  while (i < n) {
+    // scan one line: record spans of fields idx-1, idx, idx+2
+    int64_t nf = 0;
+    int64_t g0 = -1, g1 = -1, l0 = -1, l1 = -1, c0 = -1, c1 = -1;
+    while (i < n && d[i] != '\n' && d[i] != '\r') {
+      if (d[i] == ',' || d[i] == '\t') {
+        ++i;
+        continue;
+      }
+      int64_t f0 = i;
+      while (i < n && d[i] != ',' && d[i] != '\t' && d[i] != '\n' &&
+             d[i] != '\r')
+        ++i;
+      if (nf == idx - 1) { g0 = f0; g1 = i; }
+      else if (nf == idx) { l0 = f0; l1 = i; }
+      else if (nf == idx + 2) { c0 = f0; c1 = i; }
+      ++nf;
+    }
+    if (i < n) ++i;  // consume the line break
+    if (nf == 0) continue;
+    uint64_t key;
+    if (l0 < 0) {
+      key = NA_KEY;  // idx >= nfields -> "NA"
+    } else {
+      int64_t len = l1 - l0;
+      if (len > 8) return -1;
+      key = 0;
+      for (int64_t j = 0; j < len; j++) {
+        if (d[l0 + j] == '\0') return -1;
+        key |= (uint64_t)d[l0 + j] << (8 * j);
+      }
+    }
+    if (nf > 3) {
+      double g, c;
+      bool ok = g0 >= 0 && c0 >= 0 && parse_float_field(d + g0, g1 - g0, &g) &&
+                parse_float_field(d + c0, c1 - c0, &c) && g >= min_gamma &&
+                c >= min_conf;
+      if (!ok) key = NA_KEY;
+    }
+    keys[total++] = key;
+  }
+  return total;
+}
+
 // lElement::AddToCount saturation (dataType.hh:333-334): each occurrence's
 // count is added only while the running 8-bit counter stays below 255.
 // Groups are contiguous: group g spans [bounds[g], bounds[g+1]).

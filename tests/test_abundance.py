@@ -76,3 +76,54 @@ def test_report(tmp_path):
     out = tmp_path / "report.txt"
     abundance.report(os.path.join(GOLD, "merged.csv"), str(out))
     assert out.read_text() == golden("report.txt")
+
+
+def test_native_scan_matches_python(tmp_path, monkeypatch):
+    """The native abundance_scan fast path is line-for-line equal to the
+    pure-Python estimate loop on adversarial CSVs (weird floats, missing
+    fields, empty fields, CRLF, truncated lines, long labels -> fallback)."""
+    import numpy as np
+
+    from jn_cuclark_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    labels = ["1280", "562", "NA", "0", "99999999", "x" * 12, "-7"]
+    gammas = ["0.5", "-nan", "nan", "0", "1e-3", "", "bad", "0.75", " 0.2"]
+    confs = ["0.75", "0.5", "1", "0.2", "-inf", "", "zz", "0.9"]
+
+    def rand_csv(ncols_header, n):
+        hdr = ",".join(f"c{i}" for i in range(ncols_header))
+        lines = [hdr]
+        for i in range(n):
+            kind = rng.integers(0, 10)
+            if kind == 0:
+                lines.append("")  # blank line
+            elif kind == 1:
+                lines.append(f"r{i}")  # truncated: only the id
+            elif kind == 2:
+                lines.append(f"r{i},{rng.choice(gammas)}")  # missing label
+            else:
+                g = rng.choice(gammas)
+                lbl = rng.choice(labels)
+                c = rng.choice(confs)
+                sep = "\t" if kind == 3 else ","
+                extra = ",,," if kind == 4 else ""
+                lines.append(f"r{i}{sep}{g}{sep}{lbl}{sep}7{sep}{c}{extra}")
+        eol = "\r\n" if rng.integers(0, 2) else "\n"
+        return (eol.join(lines) + (eol if rng.integers(0, 2) else "")).encode()
+
+    for trial in range(30):
+        data = rand_csv(int(rng.integers(3, 8)), int(rng.integers(1, 60)))
+        p = tmp_path / f"t{trial}.csv"
+        p.write_bytes(data)
+        got = abundance.estimate([str(p)], min_confidence=0.5, min_gamma=0.01)
+        with monkeypatch.context() as m:
+            m.setattr(native, "available", lambda: False)
+            want = abundance.estimate(
+                [str(p)], min_confidence=0.5, min_gamma=0.01
+            )
+        assert got.rows == want.rows, data[:400]
+        assert got.header == want.header
