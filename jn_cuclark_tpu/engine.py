@@ -56,7 +56,7 @@ class BatchPlan:
     # ~25% on v5e (the segment_sum intermediates ballooned); with the
     # sort-runs top-2 path 2^23 is ~1.7x FASTER than 2^21 (remote per-call
     # overhead amortizes) and 2^24 exceeds 16G HBM at 150bp strides.
-    pipeline_depth: int = 4  # batches in flight; covers the remote runtime's
+    pipeline_depth: int = 6  # batches in flight; covers the remote runtime's
     # ~85ms per-call round-trip latency (measured: device 67ms/batch but
     # 180ms/batch blocked at depth 2 on the axon relay; depth 5-8 gains
     # +20-60% end-to-end depending on tunnel load)
