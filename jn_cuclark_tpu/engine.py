@@ -65,6 +65,13 @@ class BatchPlan:
     # the first batch dispatches after ~one chunk's scan (~20 ms) instead of
     # after the whole input's (~120 ms per 300k reads) and the rest of the
     # scan hides behind device compute
+    cycle_strategy: str = "auto"  # out-of-core accumulation: "counts" keeps
+    # dense [R, T+1] per batch on the host (tiny for few targets, O(T)
+    # per read at RefSeq scale: ~40 KB/read at 10k targets); "labels" keeps
+    # per-window matched labels [R, S] per cycle (O(windows) per read,
+    # target-count independent) and runs one final device top-2 over the
+    # concatenated cycles.  "auto" picks labels when it is smaller.  The
+    # mesh-sharded cycle path always uses counts (they psum across shards).
     fetch_group: int = 4  # batches per device_get in the non-extended native
     # path: every device_get is a full tunnel round trip, so fetching G
     # batches' (tiny) result rows in ONE call removes G-1 round trips
@@ -549,16 +556,38 @@ class Classifier:
         acc = [None] * len(specs)
 
         sharded = getattr(self, "sharded", None)
+        strategy = self.plan.cycle_strategy
+        if sharded is not None:
+            strategy = "counts"  # per-shard counts psum across the mesh
+        elif strategy == "auto":
+            # labels cost 2-4 B per WINDOW per cycle; dense counts cost
+            # 4*(T+1) B per read regardless of cycles — labels win once the
+            # target count passes the per-read window count (RefSeq-scale
+            # DBs: thousands of targets vs ~100-200 windows/read)
+            max_windows = max(
+                (w.shape[1] - 1) * 32 - (k - 1) for w, _ in packed_batches
+            )
+            n_chunks = len(self.table_chunks)
+            lab_bytes = (2 if self.n_targets < 65535 else 4) * n_chunks
+            strategy = (
+                "labels" if max_windows * lab_bytes < 4 * (self.n_targets + 1)
+                else "counts"
+            )
+
         if sharded is not None:
             n_passes = sharded.n_cycles
             begin_pass = sharded.begin_cycle
             end_pass = sharded.end_cycle
         else:
-            from .ops.device_pipeline import classify_batch_counts_chunk
+            from .ops.device_pipeline import (
+                classify_batch_counts_chunk,
+                classify_batch_labels_chunk,
+            )
 
             sk = jnp.asarray(self.stash[0])
             sl = jnp.asarray(self.stash[1])
             n_passes = len(self.table_chunks)
+            narrow = self.n_targets < 65535
 
             def begin_pass(j):
                 chunk = self.table_chunks[j]
@@ -567,27 +596,60 @@ class Classifier:
                 start = jnp.int32(chunk["start_row"])
                 use_stash = jnp.bool_(chunk["use_stash"])
 
-                def counts_fn(words, vwords):
-                    return classify_batch_counts_chunk(
-                        slots, lab, sk, sl, words, vwords, start, use_stash,
-                        k=k, n_targets=self.n_targets, **self.table_meta,
-                    )
+                if strategy == "labels":
+                    def fn(words, vwords):
+                        return classify_batch_labels_chunk(
+                            slots, lab, sk, sl, words, vwords, start,
+                            use_stash, k=k, narrow=narrow, **self.table_meta,
+                        )
+                else:
+                    def fn(words, vwords):
+                        return classify_batch_counts_chunk(
+                            slots, lab, sk, sl, words, vwords, start,
+                            use_stash, k=k, n_targets=self.n_targets,
+                            **self.table_meta,
+                        )
 
-                return counts_fn
+                return fn
 
             def end_pass():
                 pass
 
         for j in range(n_passes):
-            counts_fn = begin_pass(j)
+            pass_fn = begin_pass(j)
             for bi, (words, vwords) in enumerate(packed_batches):
-                counts = counts_fn(jnp.asarray(words), jnp.asarray(vwords))
-                c = np.asarray(counts)
-                if acc[bi] is None:
+                out = pass_fn(jnp.asarray(words), jnp.asarray(vwords))
+                c = np.asarray(out)
+                if strategy == "labels":
+                    if acc[bi] is None:
+                        acc[bi] = [c]
+                    else:
+                        acc[bi].append(c)
+                elif acc[bi] is None:
                     acc[bi] = c.copy()
                 else:
                     acc[bi] += c
             end_pass()
+
+        if strategy == "labels":
+            from .ops.device_pipeline import score_from_labels
+
+            for (r0, r1, stride, r_cap), parts in zip(specs, acc):
+                nb = r1 - r0
+                lab_all = parts[0] if len(parts) == 1 else np.concatenate(
+                    parts, axis=1
+                )
+                total, ib1, best, sb, counts = jax.device_get(
+                    score_from_labels(
+                        jnp.asarray(lab_all),
+                        n_targets=self.n_targets, extended=extended,
+                    )
+                )
+                yield formatter(
+                    r0, r1, total[:nb], ib1[:nb], best[:nb], sb[:nb],
+                    norm_all[r0:r1], counts[:nb] if extended else None,
+                )
+            return
         for (r0, r1, stride, r_cap), counts in zip(specs, acc):
             nb = r1 - r0
             t = counts[:nb, 1:]

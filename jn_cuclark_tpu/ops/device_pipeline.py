@@ -101,6 +101,47 @@ def classify_batch_counts_chunk(
     return score.counts_from_hits(lab, rid, R, n_targets)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "m1", "lb", "c", "narrow"))
+def classify_batch_labels_chunk(
+    slots_blk, labels_blk, stash_keys, stash_labels, words, vwords,
+    start_row, use_stash, *, k, m1, lb, c, narrow,
+):
+    """Out-of-core cycle step returning per-WINDOW matched labels [R, S]
+    (label+1, 0 = miss) instead of dense per-read counts.
+
+    Table chunks cover disjoint key ranges, so each window matches in at
+    most one cycle: the per-cycle label grids simply CONCATENATE along the
+    window axis, and the final top-2 runs once over [R, cycles*S] with
+    single-pass semantics.  O(windows) per batch instead of O(targets) —
+    dense count accumulation at RefSeq scale (10k+ targets) would need
+    ~4*T bytes/read/batch on the host, this needs 2-4*S.  `narrow` packs
+    labels into uint16 (valid while n_targets < 65535)."""
+    canon, valid = window_canonicals(words, vwords, k)
+    q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
+    lab = radix_table.probe_chunk(
+        slots_blk, labels_blk, stash_keys, stash_labels, q, start_row,
+        m1=m1, lb=lb, c=c, use_stash=use_stash,
+    )
+    lab = jnp.where(valid.ravel(), lab, 0).reshape(valid.shape)
+    return lab.astype(jnp.uint16) if narrow else lab
+
+
+@functools.partial(jax.jit, static_argnames=("n_targets", "extended"))
+def score_from_labels(lab, *, n_targets, extended):
+    """Final scoring over concatenated per-window labels [R, S_total]:
+    (total, ibest, best, sbest, counts) with exactly classify_batch's
+    semantics (sort-runs top-2 non-extended, dense counts extended)."""
+    lab = lab.astype(jnp.int32)
+    R, S = lab.shape
+    if not extended:
+        total, ib, b, isb, sb = score.top2_from_labels(lab)
+        return total, ib, b, sb, jnp.zeros((R, 0), jnp.int32)
+    rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
+    counts = score.counts_from_hits(lab.ravel(), rid, R, n_targets)
+    total, ib, b, isb, sb = score.read_results(counts)
+    return total, ib, b, sb, counts
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets", "extended")
 )

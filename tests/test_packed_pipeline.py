@@ -131,3 +131,31 @@ def test_cycled_equals_single(setup, use_native):
         use_native=use_native, db_cycles=3,
     )
     assert ext1 == oracle.rows(cyc.classify_bytes(fa, extended=True)[0])
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_cycled_labels_strategy_equals_counts(setup, use_native):
+    """The O(windows) labels accumulation (out-of-core at RefSeq-scale
+    target counts) is byte-identical to the dense-counts path and to the
+    resident-table path, extended mode included."""
+    if use_native:
+        from jn_cuclark_tpu.utils import native
+        if not native.available():
+            pytest.skip("native library not built")
+    tmp_path, prof, targets, fa = setup
+    single = Classifier.load(
+        str(tmp_path), targets, prof, K,
+        plan=BatchPlan(window_budget=1 << 14), use_native=use_native,
+    )
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
+    ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
+    for strategy in ("labels", "counts"):
+        cyc = Classifier.load(
+            str(tmp_path), targets, prof, K,
+            plan=BatchPlan(window_budget=1 << 14, cycle_strategy=strategy),
+            use_native=use_native, db_cycles=3,
+        )
+        assert rows1 == oracle.rows(cyc.classify_bytes(fa)[0]), strategy
+        assert ext1 == oracle.rows(
+            cyc.classify_bytes(fa, extended=True)[0]
+        ), strategy
