@@ -557,9 +557,7 @@ class Classifier:
 
         sharded = getattr(self, "sharded", None)
         strategy = self.plan.cycle_strategy
-        if sharded is not None:
-            strategy = "counts"  # per-shard counts psum across the mesh
-        elif strategy == "auto":
+        if strategy == "auto":
             # labels cost 2-4 B per WINDOW per cycle; dense counts cost
             # 4*(T+1) B per read regardless of cycles — labels win once the
             # target count passes the per-read window count (RefSeq-scale
@@ -567,7 +565,10 @@ class Classifier:
             max_windows = max(
                 (w.shape[1] - 1) * 32 - (k - 1) for w, _ in packed_batches
             )
-            n_chunks = len(self.table_chunks)
+            n_chunks = (
+                sharded.n_cycles if sharded is not None
+                else len(self.table_chunks)
+            )
             lab_bytes = (2 if self.n_targets < 65535 else 4) * n_chunks
             strategy = (
                 "labels" if max_windows * lab_bytes < 4 * (self.n_targets + 1)
@@ -576,7 +577,10 @@ class Classifier:
 
         if sharded is not None:
             n_passes = sharded.n_cycles
-            begin_pass = sharded.begin_cycle
+
+            def begin_pass(j):
+                return sharded.begin_cycle(j, kind=strategy)
+
             end_pass = sharded.end_cycle
         else:
             from .ops.device_pipeline import (

@@ -234,6 +234,20 @@ class ShardedRadixTable:
         if kind == "counts":
             f = local_counts
             out_specs = row_spec
+        elif kind == "labels":
+            # out-of-core labels strategy (engine cycle_strategy="labels"):
+            # the merged per-window label grid itself, uint16-packed when
+            # the target count allows — O(windows) per cycle instead of
+            # O(targets), which dense counts need
+            narrow = n_targets < 65535
+
+            def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
+                lab = local_labels(
+                    slots_blk, lab_blk, sk, sl, words, vwords, cycle
+                )
+                return lab.astype(jnp.uint16) if narrow else lab
+
+            out_specs = row_spec
         elif kind == "classify_top2":
             # non-extended fast path: skip the dense count matrix entirely
             def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
@@ -271,21 +285,23 @@ class ShardedRadixTable:
         self._fns[kind] = jfn
         return jfn
 
-    def begin_cycle(self, j: int):
-        """Upload cycle j's row chunks; returns counts_fn(words, vwords)."""
+    def begin_cycle(self, j: int, kind: str = "counts"):
+        """Upload cycle j's row chunks; returns fn(words, vwords) producing
+        per-read counts (kind="counts") or the merged per-window label grid
+        (kind="labels")."""
         if self._cur is None or self._cur[0] != j:
             slots, labels = self._cycle_global(j)
             cyc = self._replicated(jnp.int32(j))
             self._cur = (j, slots, labels, cyc)
 
-        def counts_fn(words, vwords):
+        def pass_fn(words, vwords):
             _, slots, labels, cyc = self._cur
-            return self._fn("counts")(
+            return self._fn(kind)(
                 slots, labels, self._sk, self._sl,
                 self._feed(words), self._feed(vwords), cyc,
             )
 
-        return counts_fn
+        return pass_fn
 
     def end_cycle(self):
         if self.n_cycles > 1:

@@ -178,3 +178,25 @@ def test_dpdb_2d_mesh_matches_single(db):
         assert ext1 == oracle.rows(
             clf.classify_bytes(fa, extended=True)[0]
         ), (dp, ndb)
+
+
+def test_db_sharded_cycles_labels_strategy(db):
+    """The O(windows) labels strategy composes with the sharded mesh
+    (per-window label grids psum across shards, then concatenate across
+    cycles) — byte-identical to counts and to single-device."""
+    tmp_path, prof, targets, fa = db
+    plan = lambda s: BatchPlan(window_budget=1 << 14, cycle_strategy=s)
+    single = Classifier.load(
+        str(tmp_path), targets, prof, K, plan=plan("counts")
+    )
+    rows1 = oracle.rows(single.classify_bytes(fa)[0])
+    ext1 = oracle.rows(single.classify_bytes(fa, extended=True)[0])
+    for strategy in ("labels", "counts"):
+        sh = Classifier.load(
+            str(tmp_path), targets, prof, K, plan=plan(strategy),
+            mesh=make_mesh(4), mesh_mode="db", db_cycles=3,
+        )
+        assert rows1 == oracle.rows(sh.classify_bytes(fa)[0]), strategy
+        assert ext1 == oracle.rows(
+            sh.classify_bytes(fa, extended=True)[0]
+        ), strategy
