@@ -307,6 +307,25 @@ def cmd_classify(args):
         from .utils import profiling
 
         total_reads = 0
+        jobs = getattr(args, "jobs", 1) or 1
+        if jobs > 1 and len(pairs) > 1 and not getattr(args, "profile", False):
+            # concurrent list mode: small samples are single-batch, so
+            # running `jobs` files at once fills each other's device gaps
+            with profiling.trace(getattr(args, "trace_dir", None)):
+                stats_list = clf.classify_files(
+                    [(o, m, r) for o, m, r in pairs],
+                    jobs=jobs,
+                    extended=args.extended,
+                )
+            for (obj, _m, _r), stats in zip(pairs, stats_list):
+                total_reads += stats["reads"]
+                print(
+                    f"{obj}: done in {stats['seconds']:.1f}s "
+                    f"({stats['reads_per_min']} reads/min, "
+                    f"{stats['reads']} reads) -> {stats['result']}",
+                    file=sys.stderr,
+                )
+            return 0
         with profiling.trace(getattr(args, "trace_dir", None)):
             for obj, mate, res in pairs:
                 print(f"Classifying: {obj}", file=sys.stderr)
@@ -532,6 +551,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("-s", "--sampling-factor", type=int, default=1)
     pc.add_argument("-n", "--threads", type=int, default=None,
                     help="host threads for the native packer (default: all)")
+    pc.add_argument("--jobs", type=int, default=1,
+                    help="list mode: classify this many input files "
+                    "concurrently through the shared device pipeline "
+                    "(small samples overlap each other's host/device gaps)")
     pc.add_argument("-b", "--batches", type=int, default=None,
                     help="accepted for cuCLARK compatibility; batching is automatic")
     pc.add_argument("--extended", action="store_true", help="per-target score columns")

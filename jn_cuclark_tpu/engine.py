@@ -495,6 +495,42 @@ class Classifier:
             )
         return stats
 
+    def classify_files(
+        self,
+        items: list[tuple],
+        jobs: int = 2,
+        extended: bool = False,
+    ) -> list[dict]:
+        """Classify several independent inputs, `jobs` at a time, through
+        the shared device pipeline.
+
+        Items are (objects_path, paired_path_or_None, result_path).  Small
+        samples are single-batch, so one file's host→device→host chain has
+        nothing to overlap with; classifying files concurrently fills each
+        other's dispatch/fetch gaps (the reference runs list-mode files
+        strictly sequentially, CuCLARK_hh.hh:384-507).  Outputs are
+        per-file and independent; returned stats follow the input order."""
+        if self.use_native:
+            from .utils import native as _native
+
+            if _native.available():
+                self._names_buffer()  # init once before threads share it
+        if jobs <= 1 or len(items) <= 1:
+            return [
+                self.classify_file(o, r, paired_path=p, extended=extended)
+                for o, p, r in items
+            ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futs = [
+                ex.submit(
+                    self.classify_file, o, r, paired_path=p, extended=extended
+                )
+                for o, p, r in items
+            ]
+            return [f.result() for f in futs]
+
     def _header(self, extended: bool) -> bytes:
         cols = ["Object_ID"]
         if extended:

@@ -298,3 +298,25 @@ def test_classify_scan_chunk_parity(setup):  # noqa: F811
     a = b"".join(ref_clf.classify_bytes(fa, extended=True)[0])
     b = b"".join(small.classify_bytes(fa, extended=True)[0])
     assert a == b
+
+
+def test_classify_files_concurrent_parity(setup, tmp_path):  # noqa: F811
+    """classify_files with jobs>1 produces byte-identical per-file CSVs to
+    sequential classification (shared Classifier, concurrent pipelines)."""
+    dbdir, tpath, prof, targets, genomes, reads = setup
+    clf = Classifier.load(str(dbdir), targets, prof, K)
+    items = []
+    rng = np.random.default_rng(17)
+    for s in range(5):
+        sel = [reads[int(i)] for i in rng.integers(0, len(reads), 40)]
+        p = tmp_path / f"s{s}.fa"
+        p.write_text("".join(f">{n}\n{q}\n" for n, q in sel))
+        items.append((str(p), None, str(tmp_path / f"par{s}")))
+    seq_items = [(o, p, r.replace("par", "seq")) for o, p, r in items]
+    st_par = clf.classify_files(items, jobs=3)
+    st_seq = clf.classify_files(seq_items, jobs=1)
+    for s in range(5):
+        a = (tmp_path / f"par{s}.csv").read_bytes()
+        b = (tmp_path / f"seq{s}.csv").read_bytes()
+        assert a == b, f"sample {s}"
+        assert st_par[s]["reads"] == st_seq[s]["reads"] == 40
