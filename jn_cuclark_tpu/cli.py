@@ -558,6 +558,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("-b", "--batches", type=int, default=None,
                     help="accepted for cuCLARK compatibility; batching is automatic")
     pc.add_argument("--extended", action="store_true", help="per-target score columns")
+    pc.add_argument("--verbose", action="store_true",
+                    help="accepted for cuCLARK command-line compatibility "
+                    "(main.cc --verbose); per-file speed stats are always "
+                    "printed")
     pc.add_argument("--gzipped", action="store_true", help="inputs are gzipped")
     pc.add_argument("-d", "--devices", type=int, default=None, help="devices to shard the DB over")
     pc.add_argument("--dp", type=int, default=None,

@@ -515,6 +515,10 @@ class Classifier:
 
             if _native.available():
                 self._names_buffer()  # init once before threads share it
+        if getattr(self, "sharded", None) is not None and self.db_cycles > 1:
+            # the sharded table's current-cycle upload (_cur) is shared
+            # mutable state: concurrent cycled runs would race on it
+            jobs = 1
         if jobs <= 1 or len(items) <= 1:
             return [
                 self.classify_file(o, r, paired_path=p, extended=extended)
