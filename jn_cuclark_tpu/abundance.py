@@ -70,23 +70,31 @@ def estimate(
             counts[i] += c
 
     for path in csv_files:
-        if _native.available():
-            # native one-pass scan (~10x the line loop on multi-M-read CSVs);
-            # returns None on anything it cannot replicate exactly
-            data = open(path, "rb").read()
-            nlpos = data.find(b"\n")
-            if nlpos >= 0:
-                try:
-                    hdr = data[: nlpos + 1].decode()
-                except UnicodeDecodeError:
-                    hdr = None
+        if _native.available() and os.path.getsize(path) > 0:
+            # native one-pass scan (~10x the line loop on multi-M-read CSVs)
+            # over the mmap'd file — resident pages are reclaimable, so
+            # memory stays flat on multi-GB CSVs; returns None on anything
+            # it cannot replicate exactly (the line loop then re-reads)
+            import mmap as _mmap
+
+            with open(path, "rb") as fb, _mmap.mmap(
+                fb.fileno(), 0, access=_mmap.ACCESS_READ
+            ) as mm:
+                nlpos = mm.find(b"\n")
+                hdr = None
+                if nlpos >= 0:
+                    try:
+                        hdr = mm[: nlpos + 1].decode()
+                    except UnicodeDecodeError:
+                        pass
                 if hdr is not None:
                     if first:
                         ncols = len([e for e in _split_csv(hdr) if e])
                         idx = 2 if ncols == 3 else ncols - 3
                         first = False
                     res = _native.abundance_scan(
-                        data[nlpos + 1 :], idx, min_gamma, min_confidence
+                        mm, idx, min_gamma, min_confidence,
+                        offset=nlpos + 1,
                     )
                     if res is not None:
                         lbls, cnts, tot = res

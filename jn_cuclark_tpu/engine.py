@@ -70,8 +70,9 @@ class BatchPlan:
     # per read at RefSeq scale: ~40 KB/read at 10k targets); "labels" keeps
     # per-window matched labels [R, S] per cycle (O(windows) per read,
     # target-count independent) and runs one final device top-2 over the
-    # concatenated cycles.  "auto" picks labels when it is smaller.  The
-    # mesh-sharded cycle path always uses counts (they psum across shards).
+    # concatenated cycles.  "auto" picks labels when it is smaller.  Both
+    # strategies compose with the sharded mesh (labels psum across shards —
+    # a key lives on exactly one shard).
     fetch_group: int = 4  # batches per device_get in the non-extended native
     # path: every device_get is a full tunnel round trip, so fetching G
     # batches' (tiny) result rows in ONE call removes G-1 round trips
@@ -103,10 +104,16 @@ class _ScanStream:
         def run():
             try:
                 buf = np.frombuffer(data, np.uint8)
+                if data[0:1] not in (b">", b"@"):
+                    raise ValueError(
+                        "failed to recognize the format of the file"
+                    )
                 is_fq = data[0:1] == b"@"
                 for s, e in iter_record_cuts(buf, is_fq, chunk_bytes):
                     with maybe_phase("scan"):
-                        part = _native.scan_reads(data, s, e)[1:]
+                        part = _native.scan_reads(
+                            data, s, e, is_fasta=not is_fq
+                        )[1:]
                     with self._cond:
                         self._parts.append(part)
                         self._cum.append(self._cum[-1] + len(part[4]))
@@ -515,9 +522,11 @@ class Classifier:
 
             if _native.available():
                 self._names_buffer()  # init once before threads share it
-        if getattr(self, "sharded", None) is not None and self.db_cycles > 1:
-            # the sharded table's current-cycle upload (_cur) is shared
-            # mutable state: concurrent cycled runs would race on it
+        if self.db_cycles > 1:
+            # out-of-core runs share mutable per-cycle state (the sharded
+            # table's current-cycle upload) and each concurrent run would
+            # hold its own copy of every table chunk on the device —
+            # defeating the reason cycling exists
             jobs = 1
         if jobs <= 1 or len(items) <= 1:
             return [
@@ -603,7 +612,8 @@ class Classifier:
             # target count passes the per-read window count (RefSeq-scale
             # DBs: thousands of targets vs ~100-200 windows/read)
             max_windows = max(
-                (w.shape[1] - 1) * 32 - (k - 1) for w, _ in packed_batches
+                ((w.shape[1] - 1) * 32 - (k - 1) for w, _ in packed_batches),
+                default=0,
             )
             n_chunks = (
                 sharded.n_cycles if sharded is not None

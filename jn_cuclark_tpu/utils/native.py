@@ -80,12 +80,20 @@ def _p(a, tp):
     return a.ctypes.data_as(tp)
 
 
-def scan_reads(data: bytes, start: int = 0, end: int | None = None):
+def scan_reads(
+    data: bytes,
+    start: int = 0,
+    end: int | None = None,
+    is_fasta: bool | None = None,
+):
     """(is_fasta, name_start, name_end, seq_start, seq_end, length).
 
     With start/end, scans only data[start:end] (which must begin at a record
     boundary — a '>' header line or FASTQ line-phase 0) WITHOUT copying;
-    returned offsets are absolute into `data`."""
+    returned offsets are absolute into `data`.  Pass is_fasta when scanning
+    a chunk of a larger buffer: the format belongs to the WHOLE file (its
+    first byte), and a malformed header landing on a chunk boundary must not
+    change how that chunk is scanned."""
     lib = _load()
     arr, _ = _u8(data)
     if end is None:
@@ -95,15 +103,20 @@ def scan_reads(data: bytes, start: int = 0, end: int | None = None):
         raise ValueError("empty input file")
     seg = arr[start:end]
     dp = seg.ctypes.data_as(_U8P)
-    first = bytes(seg[:1])
-    if first == b">":
-        fn, is_fasta = lib.scan_fasta, True
+    if is_fasta is None:
+        first = bytes(seg[:1])
+        if first == b">":
+            is_fasta = True
+        elif first == b"@":
+            is_fasta = False
+        else:
+            raise ValueError("failed to recognize the format of the file")
+    if is_fasta:
+        fn = lib.scan_fasta
         cap = int(np.count_nonzero(seg == ord(">"))) + 16
-    elif first == b"@":
-        fn, is_fasta = lib.scan_fastq, False
-        cap = int(np.count_nonzero(seg == ord("\n"))) // 4 + 16
     else:
-        raise ValueError("failed to recognize the format of the file")
+        fn = lib.scan_fastq
+        cap = int(np.count_nonzero(seg == ord("\n"))) // 4 + 16
     while True:
         ns = np.zeros(cap, np.int64)
         ne = np.zeros(cap, np.int64)
@@ -159,18 +172,24 @@ def pack_batch(data: bytes, seq_start: np.ndarray, seq_end: np.ndarray, stride: 
     return words, vwords
 
 
-def abundance_scan(body: bytes, idx: int, min_gamma: float, min_conf: float):
-    """(labels, counts, total) of a classification-CSV body, or None when
-    the native fast path cannot replicate the Python semantics exactly
-    (labels >8 bytes / NUL, header quirks).  Labels are returned in
-    first-appearance order, matching abundance.estimate's dict order."""
+def abundance_scan(
+    body, idx: int, min_gamma: float, min_conf: float, offset: int = 0
+):
+    """(labels, counts, total) of a classification-CSV body (any
+    buffer-protocol object, e.g. an mmap, starting at `offset`), or None
+    when the native fast path cannot replicate the Python semantics exactly
+    (labels >8 bytes / NUL, floats strtod may parse differently).  Labels
+    are returned in first-appearance order, matching abundance.estimate's
+    dict order."""
     lib = _load()
     if lib is None or not hasattr(lib, "abundance_scan"):
         return None
-    arr, dp = _u8(body)
+    arr, _ = _u8(body)
+    arr = arr[offset:]
     n = len(arr)
     if n == 0:
         return [], np.zeros(0, np.int64), 0
+    dp = arr.ctypes.data_as(_U8P)
     cap = int(np.count_nonzero(arr == ord("\n"))) + int(
         np.count_nonzero(arr == ord("\r"))
     ) + 1

@@ -9,10 +9,12 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC -fopenmp)
 
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <locale.h>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -503,23 +505,31 @@ int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
 
 static const uint64_t NA_KEY = (uint64_t)'N' | ((uint64_t)'A' << 8);
 
-// Python float(): optional spaces, then a full-string number; strtod minus
-// hex floats.  Returns false when the field is not a valid float.
-static bool parse_float_field(const uint8_t* s, int64_t len, double* out) {
+// Python float() semantics for a CSV field, or bail.  Returns 1 on a
+// parsed float, 0 on a field Python would also reject (ValueError), and -1
+// on anything whose Python result strtod cannot be trusted to reproduce
+// (very long numerals, '_' digit separators, non-ASCII digits, hex) — the
+// caller then falls back to the Python path for the whole file.
+static int parse_float_field(const uint8_t* s, int64_t len, double* out) {
   char buf[64];
-  if (len <= 0 || len >= (int64_t)sizeof(buf)) return false;
+  if (len <= 0) return 0;
+  if (len >= (int64_t)sizeof(buf)) return -1;
   for (int64_t i = 0; i < len; i++) {
-    if (s[i] == 'x' || s[i] == 'X' || s[i] == '\0') return false;  // hex/NUL
+    if (s[i] == 'x' || s[i] == 'X' || s[i] == '_' || s[i] >= 0x80) return -1;
+    if (s[i] == '\0') return -1;
   }
   memcpy(buf, s, (size_t)len);
   buf[len] = '\0';
   char* end = nullptr;
-  double v = strtod(buf, &end);
-  if (end == buf) return false;
-  while (*end == ' ') ++end;  // trailing spaces ok (Python float())
-  if (*end != '\0') return false;
+  // strtod is LC_NUMERIC-sensitive; pin the C locale so an embedding app's
+  // setlocale() cannot change how "0.5" parses
+  static locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+  double v = c_loc ? strtod_l(buf, &end, c_loc) : strtod(buf, &end);
+  if (end == buf) return 0;
+  while (*end && isspace((unsigned char)*end)) ++end;  // Python strips ws
+  if (*end != '\0') return 0;
   *out = v;
-  return true;
+  return 1;
 }
 
 int64_t abundance_scan(const uint8_t* d, int64_t n, int64_t idx,
@@ -560,10 +570,17 @@ int64_t abundance_scan(const uint8_t* d, int64_t n, int64_t idx,
       }
     }
     if (nf > 3) {
-      double g, c;
-      bool ok = g0 >= 0 && c0 >= 0 && parse_float_field(d + g0, g1 - g0, &g) &&
-                parse_float_field(d + c0, c1 - c0, &c) && g >= min_gamma &&
-                c >= min_conf;
+      double g = 0, c = 0;
+      bool ok = false;
+      if (g0 >= 0 && c0 >= 0) {
+        int rg = parse_float_field(d + g0, g1 - g0, &g);
+        if (rg < 0) return -1;  // Python path decides
+        if (rg > 0) {
+          int rc = parse_float_field(d + c0, c1 - c0, &c);
+          if (rc < 0) return -1;
+          ok = rc > 0 && g >= min_gamma && c >= min_conf;
+        }
+      }
       if (!ok) key = NA_KEY;
     }
     keys[total++] = key;

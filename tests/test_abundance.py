@@ -91,7 +91,8 @@ def test_native_scan_matches_python(tmp_path, monkeypatch):
 
     rng = np.random.default_rng(5)
     labels = ["1280", "562", "NA", "0", "99999999", "x" * 12, "-7"]
-    gammas = ["0.5", "-nan", "nan", "0", "1e-3", "", "bad", "0.75", " 0.2"]
+    gammas = ["0.5", "-nan", "nan", "0", "1e-3", "", "bad", "0.75", " 0.2",
+              "0.7_5", "0" * 70 + ".5"]  # '_'/long numerals force fallback
     confs = ["0.75", "0.5", "1", "0.2", "-inf", "", "zz", "0.9"]
 
     def rand_csv(ncols_header, n):

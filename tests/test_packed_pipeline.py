@@ -159,3 +159,17 @@ def test_cycled_labels_strategy_equals_counts(setup, use_native):
         assert ext1 == oracle.rows(
             cyc.classify_bytes(fa, extended=True)[0]
         ), strategy
+
+
+@pytest.mark.parametrize("strategy", ["auto", "labels", "counts"])
+def test_cycled_zero_read_input(setup, strategy):
+    """Cycled classification of an input that scans to zero reads (lone
+    FASTQ header) yields an empty body instead of crashing (review fix:
+    the auto-strategy max() over an empty batch list)."""
+    tmp_path, prof, targets, fa = setup
+    cyc = Classifier.load(
+        str(tmp_path), targets, prof, K,
+        plan=BatchPlan(cycle_strategy=strategy), db_cycles=2,
+    )
+    gen, n = cyc.classify_bytes(b"@lone_header\n")
+    assert b"".join(gen) == b"" and n == 0

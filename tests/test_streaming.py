@@ -320,3 +320,26 @@ def test_classify_files_concurrent_parity(setup, tmp_path):  # noqa: F811
         b = (tmp_path / f"seq{s}.csv").read_bytes()
         assert a == b, f"sample {s}"
         assert st_par[s]["reads"] == st_seq[s]["reads"] == 40
+
+
+def test_scan_stream_format_pinned_across_chunks():
+    """A FASTQ record whose header does not start with '@' scans the same
+    streamed (tiny chunks, record at a chunk boundary) as whole-buffer:
+    the file's format is detected ONCE from its first byte (review fix)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from jn_cuclark_tpu.engine import _ScanStream
+
+    recs = []
+    for i in range(40):
+        h = ">odd" if i % 7 == 3 else f"@r{i}"  # some headers malformed
+        recs.append(f"{h}\n{'ACGT' * 10}\n+\n{'I' * 40}\n")
+    data = "".join(recs).encode()
+    whole = native.scan_reads(data)[1:]
+    for chunk in (64, 128, 300):
+        scan = _ScanStream(data, chunk_bytes=chunk)
+        n = scan.total()
+        assert n == len(whole[4]), chunk
+        got = scan.arrays(0, n)
+        for a, b in zip(got, whole):
+            np.testing.assert_array_equal(a, b)
