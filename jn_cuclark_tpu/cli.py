@@ -203,7 +203,13 @@ def _load_classifier(args):
     from . import database
     from .engine import BatchPlan, Classifier
 
-    cfg = database.DBConfig.load(args.db)
+    try:
+        cfg = database.DBConfig.load(args.db)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"{args.db}: not a clark-tpu database directory (no config.json"
+            " — run `clark-tpu db setup`/`db build` first)"
+        )
     prof = _profile_from_args(args, cfg)
     mesh = None
     mesh_mode = "db" if getattr(args, "shard_db", False) else "dp"
