@@ -21,9 +21,12 @@ for cross-checking (`packed=False`).
 
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import functools
+import itertools
 import os
+import threading
 import time
 
 import jax
@@ -90,8 +93,6 @@ class _ScanStream:
     the same per-read arrays as one whole-buffer `native.scan_reads`."""
 
     def __init__(self, data: bytes, chunk_bytes: int = 8 << 20):
-        import threading
-
         from .io.fasta import iter_record_cuts
         from .utils import native as _native
 
@@ -149,8 +150,6 @@ class _ScanStream:
     def arrays(self, r0: int, r1: int):
         """(ns, ne, ss, se, ln) for reads [r0, r1) — caller must have
         ensure()d r1 first."""
-        import bisect
-
         with self._cond:
             lo = bisect.bisect_right(self._cum, r0) - 1
             hi = bisect.bisect_left(self._cum, r1, lo=lo)
@@ -441,8 +440,6 @@ class Classifier:
         out = result_path + ".csv"
         # pull the first slab BEFORE touching the output so a missing/
         # malformed input raises without destroying an existing results file
-        import itertools
-
         first = next(slabs, None)
         if first is not None:
             slabs = itertools.chain([first], slabs)
@@ -786,7 +783,8 @@ class Classifier:
         # here; each stage overlaps the others' blocked waits
         g = 1 if extended else max(self.plan.fetch_group, 1)
         entries = self._pipelined(self._plan_batches_stream(scan), dispatch)
-        for got_group in self._pipelined(_grouped(entries, g), fetch_group, depth=2):
+        groups = itertools.batched(entries, g)
+        for got_group in self._pipelined(groups, fetch_group, depth=2):
             for got in got_group:
                 yield fmt(got)
 
@@ -1031,18 +1029,6 @@ class Classifier:
                     counts_h[i] if extended else None,
                 )
             r0 = r1
-
-
-def _grouped(it, n: int):
-    """Yield lists of up to n consecutive items from it (last may be short)."""
-    buf = []
-    for x in it:
-        buf.append(x)
-        if len(buf) == n:
-            yield buf
-            buf = []
-    if buf:
-        yield buf
 
 
 def _format_row(

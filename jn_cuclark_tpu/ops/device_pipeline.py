@@ -161,12 +161,5 @@ def classify_batch(
     lab = radix_table.probe(
         slots, labels, stash_keys, stash_labels, q, m1=m1, lb=lb, c=c
     )
-    lab = jnp.where(valid.ravel(), lab, 0)
-    R, S = valid.shape
-    if not extended:
-        total, ib, b, isb, sb = score.top2_from_labels(lab.reshape(R, S))
-        return total, ib, b, sb, jnp.zeros((R, 0), jnp.int32)
-    rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
-    counts = score.counts_from_hits(lab, rid, R, n_targets)
-    total, ib, b, isb, sb = score.read_results(counts)
-    return total, ib, b, sb, counts
+    lab = jnp.where(valid.ravel(), lab, 0).reshape(valid.shape)
+    return score_from_labels(lab, n_targets=n_targets, extended=extended)
