@@ -249,18 +249,15 @@ int64_t format_rows(const uint8_t* data,
 }
 
 // extended rows: per-target scores inserted after the name
-int64_t format_rows_extended(const uint8_t* data,
-                             const int64_t* name_start, const int64_t* name_end,
-                             const int32_t* counts,  // [nreads, ntargets+1]
-                             const int32_t* total, const int32_t* ibest,
-                             const int32_t* best, const int32_t* sbest,
-                             const int64_t* norm, int64_t nreads,
-                             int32_t ntargets, int32_t k,
-                             const char* tn_buf, const int64_t* tn_off,
-                             char* out, int64_t out_cap) {
+static int64_t format_rows_extended_range(
+    const uint8_t* data, const int64_t* name_start, const int64_t* name_end,
+    const int32_t* counts, const int32_t* total, const int32_t* ibest,
+    const int32_t* best, const int32_t* sbest, const int64_t* norm,
+    int64_t r0, int64_t r1, int32_t ntargets, int32_t k, const char* tn_buf,
+    const int64_t* tn_off, char* out, int64_t out_cap) {
   int64_t w = 0;
   char name[64];
-  for (int64_t r = 0; r < nreads; r++) {
+  for (int64_t r = r0; r < r1; r++) {
     int64_t ns = name_start[r], ne = name_end[r];
     int64_t len = ne - ns;
     if (len > 39) len = 39;
@@ -286,6 +283,57 @@ int64_t format_rows_extended(const uint8_t* data,
     w += m;
   }
   return w;
+}
+
+int64_t format_rows_extended(const uint8_t* data,
+                             const int64_t* name_start, const int64_t* name_end,
+                             const int32_t* counts,  // [nreads, ntargets+1]
+                             const int32_t* total, const int32_t* ibest,
+                             const int32_t* best, const int32_t* sbest,
+                             const int64_t* norm, int64_t nreads,
+                             int32_t ntargets, int32_t k,
+                             const char* tn_buf, const int64_t* tn_off,
+                             char* out, int64_t out_cap) {
+#ifdef _OPENMP
+  // same two-phase split as format_rows — extended rows are ~12*ntargets
+  // bytes of snprintf each, so this stage binds even sooner
+  int nt = omp_get_max_threads();
+  if (nreads >= 2048 && nt > 1) {
+    if (nt > 8) nt = 8;
+    int64_t chunk = (nreads + nt - 1) / nt;
+    int64_t scratch_cap = chunk * (192 + 12ll * ntargets) + 64;
+    char* scratch = (char*)malloc((size_t)(scratch_cap * nt));
+    if (scratch) {
+      int64_t lens[8];
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+      for (int t = 0; t < nt; t++) {
+        int64_t r0 = t * chunk;
+        int64_t r1 = r0 + chunk < nreads ? r0 + chunk : nreads;
+        lens[t] = r0 >= r1 ? 0
+                           : format_rows_extended_range(
+                                 data, name_start, name_end, counts, total,
+                                 ibest, best, sbest, norm, r0, r1, ntargets,
+                                 k, tn_buf, tn_off, scratch + t * scratch_cap,
+                                 scratch_cap);
+      }
+      int64_t w = 0;
+      for (int t = 0; t < nt; t++) {
+        if (lens[t] < 0 || w + lens[t] > out_cap) {
+          free(scratch);
+          return -1;
+        }
+        memcpy(out + w, scratch + t * scratch_cap, (size_t)lens[t]);
+        w += lens[t];
+      }
+      free(scratch);
+      return w;
+    }
+  }
+#endif
+  return format_rows_extended_range(data, name_start, name_end, counts,
+                                    total, ibest, best, sbest, norm, 0,
+                                    nreads, ntargets, k, tn_buf, tn_off, out,
+                                    out_cap);
 }
 
 // ------------------------------------------------------- paired-end merge
