@@ -415,7 +415,16 @@ def cmd_verify(args):
     print("clark-tpu installation check:")
     check("python package", lambda: __import__("jn_cuclark_tpu").__version__)
     check("jax devices", lambda: ", ".join(str(d) for d in _devices()))
-    check("native runtime", _check_native)
+    # the native runtime is OPTIONAL (numpy fallbacks exist) — warn, not fail
+    from .utils import native as _nat
+
+    if _nat.available():
+        print("  [OK]   native runtime (libclark_native.so)")
+    else:
+        print(
+            "  [WARN] native runtime: libclark_native.so not built "
+            "(make -C native); using the slower numpy fallback"
+        )
     check("device pipeline", _check_pipeline)
     if args.db:
         from . import database
@@ -448,14 +457,6 @@ def _devices():
     import jax
 
     return jax.devices()
-
-
-def _check_native():
-    from .utils import native
-
-    if not native.available():
-        raise RuntimeError("libclark_native.so not built (make -C native); using numpy fallback")
-    return "libclark_native.so"
 
 
 def _check_pipeline():

@@ -141,7 +141,16 @@ def _parse_fastq(data: bytes, buf: np.ndarray) -> ReadSet:
     # line is dropped)
     n_full = (len(line_starts) + 2) // 4
     if n_full == 0:
-        raise ValueError("no FASTQ records found")
+        # lone trailing header: ZERO records, gracefully empty (the native
+        # scan_fastq yields 0 reads here; the fallback must match)
+        return ReadSet(
+            data=data,
+            name_start=np.zeros(0, np.int64),
+            name_end=np.zeros(0, np.int64),
+            codes=np.zeros(0, np.int8),
+            read_offsets=np.zeros(1, np.int64),
+            is_fasta=False,
+        )
     hdr = line_starts[0::4][:n_full]
     seq_s = line_starts[1::4][:n_full]
     seq_e = line_ends[1::4][:n_full]

@@ -25,6 +25,9 @@ def _load():
     if _tried:
         return _lib
     _tried = True
+    if os.environ.get("CLARK_TPU_NO_NATIVE"):
+        _lib = None  # force the pure-numpy fallbacks (testing / odd platforms)
+        return None
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native",

@@ -284,6 +284,11 @@ def test_device_build_falls_back_on_failure(tmp_path, monkeypatch, capsys):
     native host aggregation instead of failing the build."""
     import numpy as np
 
+    from jn_cuclark_tpu.utils import native as _nat
+
+    if not _nat.available():
+        pytest.skip("native library unavailable (fallback-of-fallback test)")
+
     from jn_cuclark_tpu import params
     from jn_cuclark_tpu.db import builder, device_build
     from jn_cuclark_tpu.io import dbformat
