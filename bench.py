@@ -137,7 +137,10 @@ def config1():
     from jn_cuclark_tpu.engine import BatchPlan, Classifier
     from jn_cuclark_tpu.io.targets import parse_targets
 
-    n_reads = int(os.environ.get("BENCH_READS", "300000"))
+    # 1M reads: pipeline fill/drain and the serial prologue amortize, so the
+    # number reflects steady-state capability (300k measured ~428k r/s, 1M
+    # ~498k on the same engine)
+    n_reads = int(os.environ.get("BENCH_READS", "1000000"))
     genome_len = int(os.environ.get("BENCH_GENOME_LEN", "2000000"))
     profname = os.environ.get("BENCH_PROFILE", "full")
     prof = params.LIGHT if profname == "light" else params.FULL
