@@ -196,13 +196,15 @@ def _c2_load():
 
 def config2(state):
     td, rng, genomes, targets, prof, k, build_s, clf = state
-    n_reads = int(os.environ.get("BENCH_C2_READS", "60000"))
+    # 200k reads: ~5 batches per rep so pipeline fill/drain amortizes
+    # (matches the config-1 steady-state methodology)
+    n_reads = int(os.environ.get("BENCH_C2_READS", "200000"))
     lens = rng.integers(100, 251, size=n_reads)
     fa = _sim_reads(rng, genomes, n_reads, lens, junk_frac=0.5)
     rps, lps = _rate(clf, fa, k)
 
     # paired subset: mates drawn 200bp apart, merged with the native merger
-    n_pairs = int(os.environ.get("BENCH_C2_PAIRS", "30000"))
+    n_pairs = int(os.environ.get("BENCH_C2_PAIRS", "100000"))
     g = genomes[0]
     fq1, fq2 = [], []
     for i in range(n_pairs):
