@@ -86,63 +86,26 @@ _TAXONOMY_FILES = [
 
 
 def cmd_db_update_taxonomy(args):
-    """scripts/updateTaxonomy.sh equivalent, minus the wget (this build
-    environment has no network egress): with --from, install taxonomy data
-    from an already-downloaded directory or taxdump.tar.gz — extract *.dmp,
-    concatenate nucl_gb + nucl_wgs accession2taxid (gunzipping as needed)
-    into nucl_accss, touch <db>/.taxondata; without --from, print what to
-    fetch and validate what is present."""
-    import gzip
-    import shutil
-    import tarfile
-
-    def extract_taxdump(tar_path: str, tax: str):
-        print(f"Extracting {tar_path} ...")
-        with tarfile.open(tar_path, "r:gz") as t:
-            for m in t.getmembers():
-                base = os.path.basename(m.name)
-                if m.isfile() and (base.endswith(".dmp") or base == "gc.prt"):
-                    with t.extractfile(m) as f, open(
-                        os.path.join(tax, base), "wb"
-                    ) as g:
-                        shutil.copyfileobj(f, g)
+    """scripts/updateTaxonomy.sh equivalent, minus the wget: with --from,
+    install taxonomy data from an already-downloaded directory or
+    taxdump.tar.gz (extract *.dmp, concatenate nucl_gb + nucl_wgs
+    accession2taxid into nucl_accss, touch <db>/.taxondata); without
+    --from, print what to fetch and validate what is present.  The fetch
+    itself is `clark-tpu db download-taxonomy` where egress exists."""
+    from . import download
 
     tax = os.path.join(args.db, "taxonomy")
     if args.src is not None:
-        os.makedirs(tax, exist_ok=True)
-        src = args.src
-        if os.path.isfile(src) and (src.endswith(".tar.gz") or src.endswith(".tgz")):
-            extract_taxdump(src, tax)
-            src = os.path.dirname(os.path.abspath(args.src))
-        elif os.path.isdir(src):
-            tb = os.path.join(src, "taxdump.tar.gz")
-            if os.path.exists(tb):
-                extract_taxdump(tb, tax)
-            for f in _TAXONOMY_FILES:
-                p = os.path.join(src, f)
-                if os.path.exists(p) and not os.path.samefile(src, tax):
-                    shutil.copyfile(p, os.path.join(tax, f))
-        else:
-            print(f"--from {src}: not a directory or .tar.gz")
+        try:
+            download.install_taxonomy(args.src, tax)
+        except download.DownloadError as e:
+            print(e)
             return 1
-        # nucl_gb first, then nucl_wgs (updateTaxonomy.sh concatenation order)
-        parts = []
-        for stem in ("nucl_gb.accession2taxid", "nucl_wgs.accession2taxid"):
-            for cand in (os.path.join(src, stem), os.path.join(src, stem + ".gz")):
-                if os.path.exists(cand):
-                    parts.append(cand)
-                    break
-        if parts:
-            print("Writing nucl_accss from: " + ", ".join(parts))
-            with open(os.path.join(tax, "nucl_accss"), "wb") as out:
-                for p in parts:
-                    op = gzip.open if p.endswith(".gz") else open
-                    with op(p, "rb") as f:
-                        shutil.copyfileobj(f, out)
     else:
         print(
-            "No --from given and this environment cannot download NCBI "
-            "taxonomy data.\nFetch from ftp://ftp.ncbi.nih.gov/pub/taxonomy/:"
+            "No --from given.  With network egress, run:"
+            "\n  clark-tpu db download-taxonomy " + args.db +
+            "\nor fetch from ftp://ftp.ncbi.nih.gov/pub/taxonomy/:"
             "\n  taxdump.tar.gz"
             "\n  accession2taxid/nucl_gb.accession2taxid.gz"
             "\n  accession2taxid/nucl_wgs.accession2taxid.gz"
@@ -159,6 +122,46 @@ def cmd_db_update_taxonomy(args):
     # (updateTaxonomy.sh: `touch ../.taxondata`; checked by kent.cpp:178-265)
     open(os.path.join(args.db, ".taxondata"), "a").close()
     print("\nAll taxonomy files present.")
+    return 0
+
+
+def cmd_db_download_taxonomy(args):
+    """scripts/updateTaxonomy.sh + download/download_taxondata.sh: fetch
+    the NCBI taxonomy payload into <db>/taxonomy and install it."""
+    from . import download
+
+    try:
+        download.download_taxonomy(
+            os.path.join(args.db, "taxonomy"), base_url=args.base_url
+        )
+    except download.DownloadError as e:
+        print(e)
+        return 1
+    missing = [
+        f for f in _TAXONOMY_FILES
+        if not os.path.exists(os.path.join(args.db, "taxonomy", f))
+    ]
+    if missing:
+        print("Missing after download: " + ", ".join(missing))
+        return 1
+    print("All taxonomy files present.")
+    return 0
+
+
+def cmd_db_download_genomes(args):
+    """scripts/download/download_data_newest.sh: fetch the latest RefSeq
+    Complete Genome assemblies for a group into <dir>/<Group>/."""
+    from . import download
+
+    try:
+        manifest = download.download_genomes(
+            args.dir, args.group, base_url=args.base_url, limit=args.limit
+        )
+    except download.DownloadError as e:
+        print(f"Error: {e}")
+        return 1
+    n = sum(1 for ln in open(manifest) if not ln.startswith("#"))
+    print(f"Manifest: {manifest} ({n} sequences)")
     return 0
 
 
@@ -538,6 +541,35 @@ def build_parser() -> argparse.ArgumentParser:
         "taxdump + nucl_*.accession2taxid[.gz] files",
     )
     put.set_defaults(fn=cmd_db_update_taxonomy)
+
+    from .download import NCBI_REFSEQ_BASE, NCBI_TAXONOMY_BASE
+
+    pdt = dsub.add_parser(
+        "download-taxonomy",
+        help="fetch + install NCBI taxonomy data into <db>/taxonomy "
+        "(scripts/updateTaxonomy.sh; needs network egress)",
+    )
+    pdt.add_argument("db", help="database directory")
+    pdt.add_argument(
+        "--base-url", default=NCBI_TAXONOMY_BASE,
+        help="taxonomy mirror root (default: NCBI)",
+    )
+    pdt.set_defaults(fn=cmd_db_download_taxonomy)
+
+    pdg = dsub.add_parser(
+        "download-genomes",
+        help="fetch latest RefSeq Complete Genome assemblies for a group "
+        "(scripts/download/download_data_newest.sh; needs network egress)",
+    )
+    pdg.add_argument("dir", help="destination directory for the sequences")
+    pdg.add_argument("group", help="RefSeq group: bacteria, viruses, archaea, fungi, ...")
+    pdg.add_argument(
+        "--base-url", default=NCBI_REFSEQ_BASE,
+        help="RefSeq mirror root (default: NCBI)",
+    )
+    pdg.add_argument("--limit", type=int, default=None,
+                     help="cap the number of assemblies (smoke tests)")
+    pdg.set_defaults(fn=cmd_db_download_genomes)
 
     pcln = dsub.add_parser("clean", help="remove built DB artifacts (scripts/clean.sh --reset)")
     pcln.add_argument("db", help="database directory")
