@@ -413,6 +413,65 @@ def exp_probe_wide(n_keys=46_000_000, k=31, T=16, n_q=1 << 22):
     return out
 
 
+def exp_probe_load(n_keys=46_000_000, k=31, T=16, n_q=1 << 22):
+    """Row-count reduction via load factor at big-DB scale: per-row gather
+    cost dominates (ROOFLINE.md law 1), so packing the same keys into half
+    the rows (m1=19 vs 20 at C=128) should speed the probe ~linearly in the
+    row-count regime.  Also A/Bs a u32-truncated lane reduce (the xor result
+    of a HIT lane is < 2^lb, so the select/max tree can run in native u32
+    instead of emulated u64)."""
+    import json as _json
+
+    from jn_cuclark_tpu.ops import radix_table
+
+    keys, labels1 = _make_keys(n_keys, k, T)
+    q = _queries(keys, n_q)
+    qd = jnp.asarray(q)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    out = []
+
+    for c, load in [(128, None), (128, 86.0), (256, 196.0)]:
+        table = radix_table.build(keys, labels1, k=k, c=c, load=load)
+        slots = jnp.asarray(table.slots)
+        labels = jnp.asarray(table.labels)
+        sk = jnp.asarray(table.stash_keys)
+        sl = jnp.asarray(table.stash_labels)
+        m1, lb = table.m1, table.lb
+        p = jax.jit(
+            functools.partial(radix_table.probe, m1=m1, lb=lb, c=c)
+        )
+        t = _timeit(p, slots, labels, sk, sl, qd, iters=8)
+        ref = p(slots, labels, sk, sl, qd)
+
+        @jax.jit
+        def p32red(slots, sk, sl, qq):
+            mixed = qq * jnp.uint64(MIX)
+            b = (mixed >> jnp.uint64(64 - m1)).astype(jnp.int32)
+            qlow = mixed & jnp.uint64((1 << (64 - m1)) - 1)
+            rows = slots[b]
+            x = rows ^ (qlow << jnp.uint64(lb))[:, None]
+            hit = x < jnp.uint64(1 << lb)
+            lab32 = jnp.where(hit, x.astype(jnp.uint32), jnp.uint32(0))
+            lab = jnp.max(lab32, axis=1).astype(jnp.int32)
+            eq = qq[:, None] == sk[None, :]
+            slab = jnp.max(jnp.where(eq, sl[None, :], 0), axis=1)
+            return jnp.maximum(lab, slab)
+
+        t32 = _timeit(p32red, slots, sk, sl, qd, iters=8)
+        got = p32red(slots, sk, sl, qd)
+        r = dict(
+            c=c, m1=m1, stash=int((table.stash_keys != radix_table.EMPTY).sum()),
+            table_gb=round(table.nbytes / 2**30, 2),
+            mprobes_s=round(n_q / t / 1e6, 1),
+            u32red_mprobes_s=round(n_q / t32 / 1e6, 1),
+            equal=bool(jnp.array_equal(ref, got)),
+        )
+        print(_json.dumps(r), flush=True)
+        out.append(r)
+        del slots, labels, table
+    return out
+
+
 def exp_gather_width(n_q=1 << 22):
     """Per-row gather cost vs row width at fixed big row count (2^20)."""
     rng = np.random.default_rng(0)
@@ -451,7 +510,7 @@ def main():
     ap.add_argument(
         "exp",
         choices=["counts", "probe32", "bitcast", "pallas", "gatherw",
-                 "widerow", "all"],
+                 "widerow", "load", "all"],
     )
     args = ap.parse_args()
     import json
@@ -472,6 +531,9 @@ def main():
     if args.exp == "widerow":
         print("probe wide rows @46M keys:")
         exp_probe_wide()
+    if args.exp == "load":
+        print("probe load/row-count @46M keys:")
+        exp_probe_load()
 
 
 if __name__ == "__main__":

@@ -76,6 +76,19 @@ class BatchPlan:
     # concatenated cycles.  "auto" picks labels when it is smaller.  Both
     # strategies compose with the sharded mesh (labels psum across shards —
     # a key lives on exactly one shard).
+    sort_batches: bool = True  # length-bucketed batch planning: group the
+    # reads of a planning window by stride tier (stable within tier) so
+    # mixed-length inputs pack into dense same-stride batches instead of
+    # padding every read to the window's longest tier (VERDICT r2 item 1;
+    # the reference tolerates interleaved lengths via its variable-length
+    # container stream, CuCLARK_hh.hh:1610-1726).  Results are scattered
+    # back and formatted in original order — CSVs are byte-identical to the
+    # file-order planner (property-tested).
+    sort_window_batches: int = 8  # planning-window size in batches: larger
+    # windows amortize per-tier partial batches (at most one per tier per
+    # window) against full ones; the window is also the result-reorder
+    # granularity (a window's scalars are ~20B/read host-side, so even
+    # 64-batch windows would be cheap — 8 keeps first-output latency low)
     fetch_group: int = 4  # batches per device_get in the non-extended native
     # path: every device_get is a full tunnel round trip, so fetching G
     # batches' (tiny) result rows in ONE call removes G-1 round trips
@@ -83,6 +96,29 @@ class BatchPlan:
     # group-of-all 287k, pairs 262k).  Extended mode always fetches
     # per batch — its dense counts are ~87 MB/batch and grouping would
     # hold G of them on device and host.
+
+
+def _stride_tiers(lengths: np.ndarray) -> np.ndarray:
+    """Vectorized pack.quantized_stride over a length array (exact parity:
+    multiples of 64 up to 1024, powers of two from 2048 above)."""
+    ln = np.maximum(np.asarray(lengths, dtype=np.int64), 1)
+    small = np.maximum((ln + 63) // 64 * 64, 64)
+    big = np.full_like(ln, 2048)
+    mask = big < ln
+    while mask.any():
+        big[mask] *= 2
+        mask = big < ln
+    return np.where(ln <= 1024, small, big)
+
+
+def _pad_rows(nb: int, r_cap: int) -> int:
+    """Row padding for a partial batch: smallest power of two >= nb (floor
+    2048), capped at the tier's full row count — each tier contributes a
+    bounded set of jit shapes while partial-batch pad waste stays < nb."""
+    p = 2048
+    while p < nb:
+        p *= 2
+    return min(p, r_cap)
 
 
 class _ScanStream:
@@ -561,8 +597,8 @@ class Classifier:
         lengths = rs.read_lengths
         names = [rs.name(i) for i in range(rs.n_reads)]
 
-        def packer(r0, r1, stride):
-            return pack.pack_batch(rs, r0, r1, stride)
+        def packer(idx, stride):
+            return pack.pack_batch_idx(rs, idx, stride)
 
         def formatter(r0, r1, total, ib, b, sb, norm, counts):
             out = []
@@ -584,19 +620,31 @@ class Classifier:
         it, per-read counts accumulate host-side (the reference's
         swapDbParts/host-row merge, CuCLARK_hh.hh:1765-1772).  Chunks come
         from either the single-device host chunking (table_chunks) or the
-        mesh-sharded table's cycles (ShardedRadixTable)."""
+        mesh-sharded table's cycles (ShardedRadixTable).
+
+        Batches are length-bucketed over the whole input (idx, stride,
+        r_pad); scoring scatters per-read results back to file order before
+        formatting."""
         k = self.k
+        n_reads = len(lengths)
         norm_all = lengths - (NBN if paired else 0)
-        specs = list(self._plan_batches(lengths))
+        if self.plan.sort_batches:
+            specs = self._window_specs(_stride_tiers(lengths))
+        else:
+            specs = [
+                (np.arange(r0, r1, dtype=np.int64), stride, r_cap)
+                for r0, r1, stride, r_cap in self._plan_batches(lengths)
+            ]
         packed_batches = []
-        for r0, r1, stride, r_cap in specs:
-            words, vwords = packer(r0, r1, stride)
-            if r1 - r0 < r_cap:
+        for idx, stride, r_pad in specs:
+            words, vwords = packer(idx, stride)
+            nb = len(idx)
+            if nb < r_pad:
                 words = np.concatenate(
-                    [words, np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)]
+                    [words, np.zeros((r_pad - nb, words.shape[1]), np.uint64)]
                 )
                 vwords = np.concatenate(
-                    [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
+                    [vwords, np.zeros((r_pad - nb, vwords.shape[1]), np.uint64)]
                 )
             packed_batches.append((words, vwords))
         acc = [None] * len(specs)
@@ -682,11 +730,20 @@ class Classifier:
                     acc[bi] += c
             end_pass()
 
+        tot_g = np.zeros(n_reads, np.int64)
+        ib_g = np.zeros(n_reads, np.int64)
+        b_g = np.zeros(n_reads, np.int64)
+        sb_g = np.zeros(n_reads, np.int64)
+        cnt_g = (
+            np.zeros((n_reads, self.n_targets + 1), np.int32)
+            if extended
+            else None
+        )
         if strategy == "labels":
             from .ops.device_pipeline import score_from_labels
 
-            for (r0, r1, stride, r_cap), parts in zip(specs, acc):
-                nb = r1 - r0
+            for (idx, stride, r_pad), parts in zip(specs, acc):
+                nb = len(idx)
                 lab_all = parts[0] if len(parts) == 1 else np.concatenate(
                     parts, axis=1
                 )
@@ -696,30 +753,149 @@ class Classifier:
                         n_targets=self.n_targets, extended=extended,
                     )
                 )
-                yield formatter(
-                    r0, r1, total[:nb], ib1[:nb], best[:nb], sb[:nb],
-                    norm_all[r0:r1], counts[:nb] if extended else None,
-                )
-            return
-        for (r0, r1, stride, r_cap), counts in zip(specs, acc):
-            nb = r1 - r0
-            t = counts[:nb, 1:]
-            total = t.sum(axis=1, dtype=np.int64)
-            best = t.max(axis=1) if t.shape[1] else np.zeros(nb, np.int32)
-            ib = t.argmax(axis=1) if t.shape[1] else np.zeros(nb, np.int64)
-            masked = t.copy()
-            if t.shape[1]:
-                masked[np.arange(nb), ib] = -1
-            sb = np.maximum(masked.max(axis=1, initial=0), 0)
-            ib1 = np.where(best > 0, ib + 1, 0)
+                tot_g[idx] = total[:nb]
+                ib_g[idx] = ib1[:nb]
+                b_g[idx] = best[:nb]
+                sb_g[idx] = sb[:nb]
+                if extended:
+                    cnt_g[idx] = counts[:nb]
+        else:
+            for (idx, stride, r_pad), counts in zip(specs, acc):
+                nb = len(idx)
+                t = counts[:nb, 1:]
+                total = t.sum(axis=1, dtype=np.int64)
+                best = t.max(axis=1) if t.shape[1] else np.zeros(nb, np.int32)
+                ib = t.argmax(axis=1) if t.shape[1] else np.zeros(nb, np.int64)
+                masked = t.copy()
+                if t.shape[1]:
+                    masked[np.arange(nb), ib] = -1
+                sb = np.maximum(masked.max(axis=1, initial=0), 0)
+                tot_g[idx] = total
+                ib_g[idx] = np.where(best > 0, ib + 1, 0)
+                b_g[idx] = best
+                sb_g[idx] = sb
+                if extended:
+                    cnt_g[idx] = counts[:nb]
+        CH = 1 << 16
+        for r0 in range(0, n_reads, CH):
+            r1 = min(r0 + CH, n_reads)
             yield formatter(
-                r0, r1, total, ib1, best, sb, norm_all[r0:r1],
-                counts[:nb] if extended else None,
+                r0, r1, tot_g[r0:r1], ib_g[r0:r1], b_g[r0:r1], sb_g[r0:r1],
+                norm_all[r0:r1], cnt_g[r0:r1] if extended else None,
             )
 
     # ---------------------------------------------------- native host path
     def _classify_native(self, data, scan: _ScanStream, paired, extended):
         """Host side fully in C++ (scan/pack/format); device step unchanged.
+
+        Length-bucketed: reads of each planning window are grouped by stride
+        tier into dense batches; per-read result scalars scatter back into
+        window order and each window formats with ONE native call, so the
+        CSV is byte-identical to file-order planning."""
+        from .utils import native as _native
+
+        if not self.plan.sort_batches:
+            yield from self._classify_native_fileorder(
+                data, scan, paired, extended
+            )
+            return
+
+        k = self.k
+        nbn = NBN if paired else 0
+        names_buf = self._names_buffer()
+        wb = 1 if extended else self.plan.sort_window_batches
+
+        def flat_batches():
+            for wid, (w0, arrs, specs) in enumerate(
+                self._plan_windows_stream(scan, wb)
+            ):
+                for idx, stride, r_pad in specs:
+                    yield (wid, arrs, len(specs), idx, stride, r_pad)
+
+        def dispatch(item):
+            wid, arrs, n_specs, idx, stride, r_pad = item
+            ss, se = arrs[2], arrs[3]
+            with maybe_phase("pack"):
+                words, vwords = _native.pack_batch(
+                    data, ss[idx], se[idx], stride
+                )
+                nb = len(idx)
+                if nb < r_pad:
+                    words = np.concatenate([
+                        words,
+                        np.zeros((r_pad - nb, words.shape[1]), np.uint64),
+                    ])
+                    vwords = np.concatenate([
+                        vwords,
+                        np.zeros((r_pad - nb, vwords.shape[1]), np.uint64),
+                    ])
+            with maybe_phase("dispatch"):
+                return (wid, arrs, n_specs, idx), self.batch_fn(
+                    jnp.asarray(words), jnp.asarray(vwords), extended=extended
+                )
+
+        def fetch_group(group):
+            # ONE device_get round trip for the whole group (see
+            # _classify_native_fileorder for the measured rationale)
+            with maybe_phase("device_wait"):
+                fetched = jax.device_get(
+                    [
+                        (total, ib, b, sb) + ((counts,) if extended else ())
+                        for _, (total, ib, b, sb, counts) in group
+                    ]
+                )
+            out = []
+            for (meta, _), arrs_f in zip(group, fetched):
+                nb = len(meta[3])
+                out.append((meta, tuple(a[:nb] for a in arrs_f)))
+            return out
+
+        def fmt_window(arrs, st):
+            ns, ne, ss, se, ln = arrs
+            with maybe_phase("format"):
+                return _native.format_rows(
+                    data, ns, ne, st["total"], st["ib"], st["b"], st["sb"],
+                    ln - nbn, k, names_buf,
+                    counts=st["counts"],
+                    n_targets=self.n_targets if extended else 0,
+                )
+
+        acc: dict[int, dict] = {}
+        g = 1 if extended else max(self.plan.fetch_group, 1)
+        entries = self._pipelined(flat_batches(), dispatch)
+        groups = itertools.batched(entries, g)
+        for got_group in self._pipelined(groups, fetch_group, depth=2):
+            for meta, arrs_f in got_group:
+                wid, arrs, n_specs, idx = meta
+                st = acc.get(wid)
+                if st is None:
+                    n_win = len(arrs[4])
+                    st = acc[wid] = dict(
+                        remaining=n_specs,
+                        total=np.zeros(n_win, np.int32),
+                        ib=np.zeros(n_win, np.int32),
+                        b=np.zeros(n_win, np.int32),
+                        sb=np.zeros(n_win, np.int32),
+                        counts=(
+                            np.zeros((n_win, self.n_targets + 1), np.int32)
+                            if extended
+                            else None
+                        ),
+                    )
+                st["total"][idx] = arrs_f[0]
+                st["ib"][idx] = arrs_f[1]
+                st["b"][idx] = arrs_f[2]
+                st["sb"][idx] = arrs_f[3]
+                if extended:
+                    st["counts"][idx] = arrs_f[4]
+                st["remaining"] -= 1
+                if st["remaining"] == 0:
+                    del acc[wid]
+                    yield fmt_window(arrs, st)
+
+    def _classify_native_fileorder(self, data, scan: _ScanStream, paired, extended):
+        """File-order planner (sort_batches=False): kept for A/B measurement
+        and as the reference for the byte-identity property tests.
 
         The record scan streams from `scan`'s background thread; the batch
         planner blocks (inside the dispatch worker thread) only until the
@@ -793,8 +969,8 @@ class Classifier:
 
         names_buf = self._names_buffer()
 
-        def packer(r0, r1, stride):
-            return _native.pack_batch(data, ss[r0:r1], se[r0:r1], stride)
+        def packer(idx, stride):
+            return _native.pack_batch(data, ss[idx], se[idx], stride)
 
         def formatter(r0, r1, total, ib, b, sb, norm, counts):
             return _native.format_rows(
@@ -925,7 +1101,157 @@ class Classifier:
             yield r0, r1, stride, r_cap
             r0 = r1
 
+    # ----------------------------------------------- length-bucketed planning
+    def _window_specs(self, tiers: np.ndarray):
+        """Window-relative batch specs [(idx, stride, r_pad)]: reads grouped
+        by stride tier (np.unique ascending; original order preserved within
+        each tier, so scattered results reproduce file order exactly)."""
+        budget = self.plan.window_budget
+        specs = []
+        for t in np.unique(tiers):
+            t = int(t)
+            if t > budget:
+                raise RuntimeError(
+                    f"read of length ~{t} exceeds window budget {budget}"
+                )
+            idx = np.nonzero(tiers == t)[0]
+            r_cap = max(min(self.plan.max_reads, budget // t), 1)
+            for i in range(0, len(idx), r_cap):
+                chunk = idx[i : i + r_cap]
+                specs.append((chunk, t, _pad_rows(len(chunk), r_cap)))
+        return specs
+
+    def _plan_windows_stream(self, scan: _ScanStream, window_batches: int):
+        """Yield (w0, arrs, specs) planning windows over the streaming scan:
+        ~window_batches' worth of padded chars per window, blocking only
+        until the window being emitted has been scanned.  arrs are the
+        window's (ns, ne, ss, se, ln) scan arrays."""
+        budget = self.plan.window_budget * max(window_batches, 1)
+        CH = 1 << 14
+        w0 = 0
+        while True:
+            if scan.ensure(w0 + 1) <= w0:
+                return
+            w1, cost, parts = w0, 0, []
+            while cost < budget:
+                avail = scan.ensure(w1 + CH)
+                take = min(avail, w1 + CH)
+                if take == w1:
+                    break
+                t = _stride_tiers(scan.arrays(w1, take)[4])
+                cum = np.cumsum(t, dtype=np.int64) + cost
+                if cum[-1] >= budget:
+                    cut = int(np.searchsorted(cum, budget, side="left")) + 1
+                    cut = min(cut, len(t))
+                    parts.append(t[:cut])
+                    w1 += cut
+                    break
+                parts.append(t)
+                cost = int(cum[-1])
+                w1 = take
+            tiers = np.concatenate(parts)
+            yield w0, scan.arrays(w0, w1), self._window_specs(tiers)
+            w0 = w1
+
+    def _plan_windows_arr(self, lengths: np.ndarray, window_batches: int):
+        """_plan_windows_stream for fully-materialized lengths; yields
+        (w0, w1, specs)."""
+        budget = self.plan.window_budget * max(window_batches, 1)
+        tiers = _stride_tiers(lengths)
+        cum = np.cumsum(tiers, dtype=np.int64)
+        n = len(lengths)
+        w0 = 0
+        while w0 < n:
+            base = int(cum[w0 - 1]) if w0 else 0
+            w1 = int(np.searchsorted(cum, base + budget, side="left")) + 1
+            w1 = min(max(w1, w0 + 1), n)
+            yield w0, w1, self._window_specs(tiers[w0:w1])
+            w0 = w1
+
     def _classify_packed(self, rs: ReadSet, paired: bool, extended: bool):
+        if not self.plan.sort_batches:
+            yield from self._classify_packed_fileorder(rs, paired, extended)
+            return
+        k = self.k
+        lengths = rs.read_lengths
+        norm = lengths - (NBN if paired else 0)
+        names = [rs.name(i) for i in range(rs.n_reads)]
+        wb = 1 if extended else self.plan.sort_window_batches
+
+        def flat_batches():
+            for wid, (w0, w1, specs) in enumerate(
+                self._plan_windows_arr(lengths, wb)
+            ):
+                for idx, stride, r_pad in specs:
+                    yield (wid, w0, w1, len(specs), idx + w0, stride, r_pad)
+
+        def dispatch(item):
+            wid, w0, w1, n_specs, idx, stride, r_pad = item
+            words, vwords = pack.pack_batch_idx(rs, idx, stride)
+            nb = len(idx)
+            if nb < r_pad:
+                words = np.concatenate(
+                    [words, np.zeros((r_pad - nb, words.shape[1]), np.uint64)]
+                )
+                vwords = np.concatenate(
+                    [vwords, np.zeros((r_pad - nb, vwords.shape[1]), np.uint64)]
+                )
+            return (wid, w0, w1, n_specs, idx), self.batch_fn(
+                jnp.asarray(words), jnp.asarray(vwords), extended=extended
+            )
+
+        def fetch(entry):
+            meta, (total, ib, b, sb, counts) = entry
+            fetched = jax.device_get(
+                (total, ib, b, sb) + ((counts,) if extended else ())
+            )
+            nb = len(meta[4])
+            return meta, tuple(a[:nb] for a in fetched)
+
+        acc: dict[int, dict] = {}
+        entries = self._pipelined(flat_batches(), dispatch)
+        for meta, arrs_f in self._pipelined(entries, fetch, depth=2):
+            wid, w0, w1, n_specs, idx = meta
+            st = acc.get(wid)
+            if st is None:
+                n_win = w1 - w0
+                st = acc[wid] = dict(
+                    remaining=n_specs,
+                    total=np.zeros(n_win, np.int64),
+                    ib=np.zeros(n_win, np.int64),
+                    b=np.zeros(n_win, np.int64),
+                    sb=np.zeros(n_win, np.int64),
+                    counts=(
+                        np.zeros((n_win, self.n_targets + 1), np.int32)
+                        if extended
+                        else None
+                    ),
+                )
+            rel = idx - w0
+            st["total"][rel] = arrs_f[0]
+            st["ib"][rel] = arrs_f[1]
+            st["b"][rel] = arrs_f[2]
+            st["sb"][rel] = arrs_f[3]
+            if extended:
+                st["counts"][rel] = arrs_f[4]
+            st["remaining"] -= 1
+            if st["remaining"] == 0:
+                del acc[wid]
+                for i in range(w1 - w0):
+                    g = w0 + i
+                    yield _format_row(
+                        names[g],
+                        int(st["total"][i]),
+                        int(st["ib"][i]),
+                        int(st["b"][i]),
+                        int(st["sb"][i]),
+                        int(norm[g]),
+                        k,
+                        self.target_names,
+                        st["counts"][i] if extended else None,
+                    )
+
+    def _classify_packed_fileorder(self, rs: ReadSet, paired: bool, extended: bool):
         k = self.k
         lengths = rs.read_lengths
         norm = lengths - (NBN if paired else 0)

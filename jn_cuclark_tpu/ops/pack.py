@@ -54,6 +54,36 @@ def pack_batch(rs: ReadSet, r0: int, r1: int, stride: int):
         codes2d[rows, cols] = np.where(valid_src, src, 0).astype(np.uint8)
         valid2d[rows, cols] = valid_src
 
+    return _pack_grids(codes2d, valid2d)
+
+
+def pack_batch_idx(rs: ReadSet, idx: np.ndarray, stride: int):
+    """pack_batch for an arbitrary read index set (length-bucketed batches
+    gather reads of one stride tier from across a planning window)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    R = len(idx)
+    S = stride
+    codes2d = np.zeros((R, S), dtype=np.uint8)
+    valid2d = np.zeros((R, S), dtype=bool)
+    offs = rs.read_offsets
+    starts = offs[idx]
+    lens = (offs[idx + 1] - starts).astype(np.int64)
+    if (lens > S).any():
+        raise ValueError("read longer than stride in pack_batch")
+    total = int(lens.sum())
+    if total:
+        rows = np.repeat(np.arange(R), lens)
+        cum = np.concatenate([[0], np.cumsum(lens[:-1])])
+        cols = np.arange(total) - np.repeat(cum, lens)
+        src = rs.codes[np.repeat(starts, lens) + cols]
+        valid_src = src >= 0
+        codes2d[rows, cols] = np.where(valid_src, src, 0).astype(np.uint8)
+        valid2d[rows, cols] = valid_src
+    return _pack_grids(codes2d, valid2d)
+
+
+def _pack_grids(codes2d: np.ndarray, valid2d: np.ndarray):
+    R, S = codes2d.shape
     w = S // 32
     shifts = (np.arange(32, dtype=np.uint64) * np.uint64(2))[None, None, :]
     words = (codes2d.reshape(R, w, 32).astype(np.uint64) << shifts).sum(
