@@ -250,9 +250,18 @@ def _load_classifier(args):
         sampling_factor=args.sampling_factor,
         gap=args.gap if args.gap is not None else cfg.gap,
         mesh=mesh,
-        db_cycles=getattr(args, "db_cycles", 1),
+        db_cycles=_parse_cycles(getattr(args, "db_cycles", "auto")),
         mesh_mode=mesh_mode,
     )
+
+
+def _parse_cycles(v) -> int | str:
+    if isinstance(v, str) and v != "auto":
+        try:
+            return int(v)
+        except ValueError:
+            raise SystemExit(f"--db-cycles must be an integer or 'auto', got {v!r}")
+    return v
 
 
 def _maybe_gunzip(path: str, tmpdir: str) -> str:
@@ -265,6 +274,25 @@ def _maybe_gunzip(path: str, tmpdir: str) -> str:
 
 
 def cmd_classify(args):
+    try:
+        return _cmd_classify(args)
+    except Exception as e:  # actionable OOM guidance (CUMEMERR parity:
+        # the reference prints "increase -b" advice, CuClarkDB.cu:45-73)
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+            raise SystemExit(
+                "Device out of memory during classification.\n"
+                f"  {msg.splitlines()[0][:200]}\n"
+                "Try: --db-cycles N (stream the DB in N chunks), --shard-db "
+                "(split the DB index over devices), or a larger -b/--batches "
+                "(smaller device batches).  --db-cycles auto (the default) "
+                "budgets the DB automatically; if the device limit was "
+                "misdetected, set CLARK_TPU_DEVICE_MEM_BYTES."
+            ) from e
+        raise
+
+
+def _cmd_classify(args):
     import tempfile
 
     if getattr(args, "threads", None):
@@ -610,8 +638,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--shard-db", action="store_true",
                     help="shard the DB index over devices (for DBs larger "
                          "than one device's memory) instead of sharding reads")
-    pc.add_argument("--db-cycles", type=int, default=1,
-                    help="stream the DB index in N chunks (out-of-core)")
+    pc.add_argument("--db-cycles", default="auto",
+                    help="stream the DB index in N chunks (out-of-core); "
+                         "default 'auto' derives N from free device memory "
+                         "(CuClarkDB.cu:526-565 behavior)")
     pc.add_argument("--profile", action="store_true", help="print phase timing summary")
     pc.add_argument("--trace-dir", default=None, help="capture a jax.profiler trace")
     pc.set_defaults(fn=cmd_classify)

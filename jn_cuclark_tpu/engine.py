@@ -219,7 +219,7 @@ class Classifier:
         mesh: jax.sharding.Mesh | None = None,
         packed: bool = True,
         use_native: bool = True,
-        db_cycles: int = 1,
+        db_cycles: int | str = "auto",
         index_cache: str | None = None,
         index_sig=None,
         mesh_mode: str = "dp",
@@ -233,7 +233,8 @@ class Classifier:
         self.mesh = mesh
         self.packed = packed
         self.use_native = use_native
-        self.db_cycles = db_cycles
+        auto_cycles = db_cycles in ("auto", 0, None)
+        self.db_cycles = db_cycles = 1 if auto_cycles else int(db_cycles)
 
         if packed:
             if mesh is not None and mesh_mode == "db":
@@ -247,9 +248,11 @@ class Classifier:
                     np.asarray(labels, dtype=np.int32) + 1,
                     self.n_targets,
                     k,
-                    db_cycles=db_cycles,
+                    db_cycles="auto" if auto_cycles else db_cycles,
+                    window_budget=self.plan.window_budget,
                 )
                 self.table_meta = self.sharded.meta
+                self.db_cycles = db_cycles = self.sharded.n_cycles
                 if db_cycles == 1:
                     self.batch_fn = self.sharded.classify
                 return
@@ -272,6 +275,25 @@ class Classifier:
                     except OSError:
                         pass
             self.table_meta = table.meta
+            if auto_cycles:
+                # reference behavior: parts x cycles derived from free device
+                # memory minus RESERVED (CuClarkDB.cu:526-565); here a table
+                # bigger than the per-device budget auto-cycles with no flags
+                from .utils import memory
+
+                db_cycles, budget = memory.auto_db_cycles(
+                    table.nbytes, self.plan.window_budget, table.slot_width
+                )
+                self.db_cycles = db_cycles
+                if db_cycles > 1:
+                    import sys
+
+                    print(
+                        f"Database ({table.nbytes >> 20} MB) exceeds the "
+                        f"device budget ({budget >> 20} MB): loading in "
+                        f"{db_cycles} cycles.",
+                        file=sys.stderr,
+                    )
             if db_cycles > 1:
                 # out-of-core: keep chunks host-side, stream per cycle
                 if mesh is not None:
@@ -350,7 +372,7 @@ class Classifier:
         mesh: jax.sharding.Mesh | None = None,
         packed: bool = True,
         use_native: bool = True,
-        db_cycles: int = 1,
+        db_cycles: int | str = "auto",
         mesh_mode: str = "dp",
     ) -> "Classifier":
         if isinstance(targets, str):

@@ -61,7 +61,7 @@ class ShardedRadixTable:
     """
 
     def __init__(self, mesh: Mesh, keys, labels1, n_targets: int, k: int,
-                 db_cycles: int = 1):
+                 db_cycles: int | str = 1, window_budget: int = 1 << 23):
         import numpy as np
 
         from ..ops import radix_table
@@ -81,13 +81,26 @@ class ShardedRadixTable:
             self.ndp, self.ndb = 1, mesh.devices.size
         self.n_targets = n_targets
         self.k = k
-        self.n_cycles = db_cycles
 
         keys = np.asarray(keys, dtype=np.uint64)
         labels1 = np.asarray(labels1, dtype=np.int32)
         plan = radix_table.plan_table(keys, labels1, k=k)
         self.meta = plan.meta
         self.m1, self.lb, self.c = plan.m1, plan.lb, plan.c
+        if db_cycles in ("auto", 0, None):
+            # reference: parts x cycles from free device memory minus
+            # RESERVED (CuClarkDB.cu:526-565) — here per-shard chunk bytes
+            # must fit each device's budget
+            from ..utils.memory import auto_db_cycles
+
+            db_cycles, _ = auto_db_cycles(
+                plan.n_rows * plan.c * 8,
+                window_budget,
+                plan.c,
+                n_shards=self.ndb,
+                device=mesh.devices.reshape(-1)[0],
+            )
+        self.n_cycles = db_cycles = int(db_cycles)
         # rows per db shard, divisible by the cycle count
         rpd = -(-plan.n_rows // self.ndb)
         rpd = -(-rpd // db_cycles) * db_cycles
