@@ -675,6 +675,10 @@ def build_parser() -> argparse.ArgumentParser:
     pcl = sub.add_parser("cluster", help="multi-host / multi-sample coordinator")
     pcl.add_argument("-c", "--config", required=True, help="cluster config (INI)")
     pcl.add_argument("-p", "--preflight", action="store_true", help="check config and hosts only")
+    pcl.add_argument("--launch", action="store_true",
+                     help="self-launch the whole cluster: SSH-spawn one "
+                          "worker per host with process ids preset "
+                          "(kent-mpi launcher mode)")
     pcl.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     pcl.set_defaults(fn=cmd_cluster)
     return p

@@ -67,6 +67,10 @@ class ClusterConfig:
     log_file: str = "cluster_run.log"
     backend: str = "local"  # "local" | "jax_distributed"
     coordinator_address: str | None = None
+    ssh_command: str = "ssh -o BatchMode=yes"  # launcher transport; tests
+    # and odd clusters override (env CLARK_TPU_SSH wins over the config)
+    launch_command: str = "clark-tpu"  # remote CLI entry point; set to e.g.
+    # "python -m jn_cuclark_tpu.cli" when the entry point is not on PATH
 
     @classmethod
     def load(cls, path: str) -> "ClusterConfig":
@@ -119,6 +123,8 @@ class ClusterConfig:
             log_file=logging_.get("file", "cluster_run.log"),
             backend=cl.get("backend", "local"),
             coordinator_address=cl.get("coordinator_address", None),
+            ssh_command=cl.get("ssh_command", "ssh -o BatchMode=yes"),
+            launch_command=cl.get("launch_command", "clark-tpu"),
         )
 
     def validate(self) -> list[str]:
@@ -404,8 +410,18 @@ def preflight(cfg: ClusterConfig, log: ClusterLogger) -> bool:
                     " (fine if they live on that node)"
                 )
     if cfg.backend == "jax_distributed" and not cfg.coordinator_address:
-        log.error("backend=jax_distributed requires coordinator_address")
-        problems.append("missing coordinator_address")
+        log.warn(
+            "coordinator_address not set: `cluster --launch` will default "
+            f"to {cfg.master}:12357; hand-started workers must set it (or "
+            "CLARK_TPU_COORDINATOR)"
+        )
+    # lint: a master/worker host with no [reads] entry idles in
+    # sample-parallel multi-process mode
+    if cfg.backend == "jax_distributed" and not cfg.shard_db:
+        with_reads = {n.hostname for n in cfg.nodes}
+        for h in [cfg.master, *cfg.workers]:
+            if h not in with_reads:
+                log.warn(f"host {h} has no [reads] entry and will idle")
     log.info("Preflight " + ("PASSED" if not problems else "FAILED"))
     return not problems
 
@@ -430,15 +446,23 @@ def run(cfg: ClusterConfig, log: ClusterLogger) -> int:
         if os.environ.get("CLARK_TPU_NUM_PROCESSES"):
             kw["num_processes"] = int(os.environ["CLARK_TPU_NUM_PROCESSES"])
             kw["process_id"] = int(os.environ.get("CLARK_TPU_PROCESS_ID", "0"))
-        jax.distributed.initialize(
-            coordinator_address=cfg.coordinator_address, **kw
+        coord = cfg.coordinator_address or os.environ.get(
+            "CLARK_TPU_COORDINATOR"  # preset by `cluster --launch`
         )
+        jax.distributed.initialize(coordinator_address=coord, **kw)
         pid = jax.process_index()
         nproc = jax.process_count()
         mine = [
             n for n in cfg.nodes if n.hostname == my_host
         ]
         log.info(f"jax.distributed: process {pid}/{nproc} on {my_host}")
+        if not mine and not cfg.shard_db:
+            # config-lint (a typo'd hostname silently idles a worker)
+            log.warn(
+                f"no [reads] entry matches this host ({my_host}); this "
+                "process will idle — check the [reads] hostnames or set "
+                "CLARK_TPU_NODE_NAME"
+            )
     else:
         pid, nproc = 0, 1
         mine = [
@@ -521,6 +545,99 @@ def allgather_bytes(payload: bytes) -> list[bytes]:
     return [bytes(gathered[i, : int(n.flat[i])]) for i in range(gathered.shape[0])]
 
 
+def launch(cfg: ClusterConfig, log: ClusterLogger, conf_path: str) -> int:
+    """Launcher mode (kent_mpi.cpp:753-915 parity): ONE command starts the
+    whole cluster run.  Process ids derive from the master+workers list (the
+    reference's generated hostfile, :753-776); each worker host is
+    SSH-preflighted (:827-864) then spawned as `<launch_command> cluster -c
+    <conf>` with CLARK_TPU_NUM_PROCESSES / CLARK_TPU_PROCESS_ID /
+    CLARK_TPU_NODE_NAME preset (replacing the reference's self-invoked
+    `mpirun --hostfile ...`, :884-907); the master runs as process 0
+    locally.  Remote output streams through the cluster log, prefixed per
+    host."""
+    import shlex
+    import subprocess
+    import threading
+
+    conf_path = os.path.abspath(conf_path)
+    hosts = [cfg.master] + [w for w in cfg.workers if w != cfg.master]
+    n = len(hosts)
+    if n > 1 and cfg.backend != "jax_distributed":
+        log.error(
+            "launcher mode with workers requires [cluster] backend = "
+            "jax_distributed (local backend has no cross-host merge)"
+        )
+        return 1
+    coord = cfg.coordinator_address or f"{cfg.master}:12357"
+    ssh = shlex.split(os.environ.get("CLARK_TPU_SSH") or cfg.ssh_command)
+    launch_cmd = cfg.launch_command
+
+    # preflight every remote host before spawning anything (reference
+    # behavior: abort the whole launch on an unreachable worker)
+    for host in hosts[1:]:
+        r = subprocess.run(
+            ssh + [host, "true"], capture_output=True, text=True, timeout=60
+        )
+        if r.returncode != 0:
+            log.error(
+                f"[{host}] SSH preflight failed (rc={r.returncode}): "
+                f"{(r.stderr or r.stdout).strip()[:200]}"
+            )
+            return 1
+        log.info(f"[{host}] SSH preflight OK")
+
+    procs: list[tuple[str, subprocess.Popen]] = []
+    threads = []
+
+    def stream(host, proc):
+        for line in proc.stdout:
+            log.info(f"[{host}] {line.rstrip()}")
+
+    def env_for(i, host):
+        return {
+            "CLARK_TPU_NUM_PROCESSES": str(n),
+            "CLARK_TPU_PROCESS_ID": str(i),
+            "CLARK_TPU_NODE_NAME": host,
+            "CLARK_TPU_COORDINATOR": coord,
+        }
+
+    try:
+        for i, host in enumerate(hosts):
+            worker_cmd = f"{launch_cmd} cluster -c {shlex.quote(conf_path)}"
+            if i == 0:
+                env = dict(os.environ, **env_for(i, host))
+                argv = shlex.split(launch_cmd) + ["cluster", "-c", conf_path]
+                p = subprocess.Popen(
+                    argv, env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT, text=True,
+                )
+            else:
+                exports = " ".join(
+                    f"{k}={shlex.quote(v)}" for k, v in env_for(i, host).items()
+                )
+                p = subprocess.Popen(
+                    ssh + [host, f"env {exports} {worker_cmd}"],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                )
+            procs.append((host, p))
+            t = threading.Thread(target=stream, args=(host, p), daemon=True)
+            t.start()
+            threads.append(t)
+            log.info(f"[{host}] spawned as process {i}/{n}")
+        rcs = {}
+        for host, p in procs:
+            rcs[host] = p.wait()
+        for t in threads:
+            t.join(timeout=5)
+        for host, rc in rcs.items():
+            (log.info if rc == 0 else log.error)(f"[{host}] exited rc={rc}")
+        return rcs[hosts[0]] if all(rc == 0 for rc in rcs.values()) else 1
+    finally:
+        for _, p in procs:
+            if p.poll() is None:
+                p.terminate()
+
+
 def main(args) -> int:
     cfg = ClusterConfig.load(args.config)
     logfile = cfg.log_file
@@ -530,6 +647,13 @@ def main(args) -> int:
     try:
         if args.preflight:
             return 0 if preflight(cfg, log) else 1
+        if getattr(args, "launch", False):
+            problems = cfg.validate()
+            if problems:
+                for p in problems:
+                    log.error(p)
+                return 1
+            return launch(cfg, log, args.config)
         return run(cfg, log)
     finally:
         log.close()

@@ -389,3 +389,106 @@ file = cluster_run.log
     clf.classify_file(str(tmp_path / "sample.fa"), str(tmp_path / "ref"))
     got = (tmp_path / "results" / "nodeA_sample.csv").read_bytes()
     assert got == (tmp_path / "ref.csv").read_bytes()
+
+
+def test_cluster_self_launch(tmp_path):
+    """ONE command starts the whole 2-process jax_distributed run: `cluster
+    --launch` SSH-spawns each worker with process ids preset and streams
+    logs (kent-mpi launcher mode, kent_mpi.cpp:753-915; SSH stubbed to run
+    locally)."""
+    rng = np.random.default_rng(13)
+    dbdir = tmp_path / "db"
+    (dbdir / "sub").mkdir(parents=True)
+    genomes = [rand_seq(rng, 400) for _ in range(2)]
+    with open(dbdir / "targets.txt", "w") as tf:
+        for i, g in enumerate(genomes):
+            p = dbdir / f"g{i}.fa"
+            write_fasta(p, [(f"g{i}", g)])
+            tf.write(f"{p} {750 + i}\n")
+    tax = dbdir / "taxonomy"
+    tax.mkdir()
+    with open(tax / "nodes.dmp", "w") as f:
+        f.write("1\t|\t1\t|\tno rank\t|\tX\t|\n")
+        for t in (750, 751):
+            f.write(f"{t}\t|\t1\t|\tspecies\t|\tX\t|\n")
+    with open(tax / "names.dmp", "w") as f:
+        for t in (750, 751):
+            f.write(f"{t}\t|\tSpecies {t}\t|\t\t|\tscientific name\t|\n")
+
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.database import DBConfig
+    from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    prof = params.tiny(htsize=2039, k=9)
+    targets = parse_targets(str(dbdir / "targets.txt"))
+    builder.build_database(targets, str(dbdir / "sub"), prof, 9)
+    DBConfig(
+        db_dir=str(dbdir), targets=str(dbdir / "targets.txt"),
+        subdb=str(dbdir / "sub"), rank=0, profile_name=prof.name, k=9,
+        gap=prof.default_gap, min_count_target=0, htsize=prof.htsize,
+        light=prof.light,
+    ).save()
+
+    for node in ("nodeA", "nodeB"):
+        with open(tmp_path / f"{node}.fa", "w") as f:
+            for i in range(15):
+                g = genomes[i % 2]
+                pos = rng.integers(0, len(g) - 60)
+                f.write(f">{node}_{i}\n{g[pos:pos+60]}\n")
+
+    # "ssh" stub: drop the hostname, run the remote command locally
+    stub = tmp_path / "fakessh"
+    stub.write_text("#!/bin/sh\nshift\nexec sh -c \"$*\"\n")
+    stub.chmod(0o755)
+
+    port = free_port()
+    conf = tmp_path / "cluster.conf"
+    conf.write_text(
+        f"""[cluster]
+master = nodeA
+workers = nodeB
+backend = jax_distributed
+coordinator_address = 127.0.0.1:{port}
+ssh_command = {stub}
+launch_command = {sys.executable} -m jn_cuclark_tpu.cli
+
+[paths]
+cuclark_dir = {tmp_path}
+database = {dbdir}
+results_dir = results
+
+[reads]
+nodeA = {tmp_path}/nodeA.fa
+nodeB = {tmp_path}/nodeB.fa
+
+[logging]
+level = info
+file = cluster_run.log
+"""
+    )
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CLARK_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    env.pop("XLA_FLAGS", None)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "jn_cuclark_tpu.cli", "cluster",
+         "-c", str(conf), "--launch"],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    combined = r.stdout + r.stderr
+    assert "[nodeB] SSH preflight OK" in combined
+    assert "spawned as process 0/2" in combined
+    report = (tmp_path / "results" / "cluster_report.txt").read_text()
+    assert "Nodes processed: 2/2" in report
+    assert (tmp_path / "results" / "cluster_abundance.csv").exists()
+    for node in ("nodeA", "nodeB"):
+        csv = (tmp_path / "results" / f"{node}_{node}.csv").read_text().splitlines()
+        assert len(csv) == 16
