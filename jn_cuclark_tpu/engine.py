@@ -826,16 +826,29 @@ class Classifier:
         nbn = NBN if paired else 0
         names_buf = self._names_buffer()
         wb = 1 if extended else self.plan.sort_window_batches
+        # extended columns from the device's sorted label grid instead of a
+        # dense count matrix: O(windows) device cost regardless of target
+        # count and ~20x smaller fetches (single-device path; the mesh
+        # batch_fns psum dense counts, and label+1 must fit u16)
+        ext_runs = (
+            bool(extended)
+            and self.mesh is None
+            and getattr(self, "sharded", None) is None
+            and self.n_targets < 65535
+            and _native.has_sorted_formatter()
+        )
+        ext_mode = "sorted" if ext_runs else extended
 
         def flat_batches():
             for wid, (w0, arrs, specs) in enumerate(
                 self._plan_windows_stream(scan, wb)
             ):
+                max_w = max(s for _, s, _ in specs) - (k - 1)
                 for idx, stride, r_pad in specs:
-                    yield (wid, arrs, len(specs), idx, stride, r_pad)
+                    yield (wid, arrs, len(specs), idx, stride, r_pad, max_w)
 
         def dispatch(item):
-            wid, arrs, n_specs, idx, stride, r_pad = item
+            wid, arrs, n_specs, idx, stride, r_pad, max_w = item
             ss, se = arrs[2], arrs[3]
             with maybe_phase("pack"):
                 words, vwords = _native.pack_batch(
@@ -852,8 +865,8 @@ class Classifier:
                         np.zeros((r_pad - nb, vwords.shape[1]), np.uint64),
                     ])
             with maybe_phase("dispatch"):
-                return (wid, arrs, n_specs, idx), self.batch_fn(
-                    jnp.asarray(words), jnp.asarray(vwords), extended=extended
+                return (wid, arrs, n_specs, idx, max_w), self.batch_fn(
+                    jnp.asarray(words), jnp.asarray(vwords), extended=ext_mode
                 )
 
         def fetch_group(group):
@@ -879,6 +892,7 @@ class Classifier:
                     data, ns, ne, st["total"], st["ib"], st["b"], st["sb"],
                     ln - nbn, k, names_buf,
                     counts=st["counts"],
+                    sorted_runs=st["runs"],
                     n_targets=self.n_targets if extended else 0,
                 )
 
@@ -888,7 +902,7 @@ class Classifier:
         groups = itertools.batched(entries, g)
         for got_group in self._pipelined(groups, fetch_group, depth=2):
             for meta, arrs_f in got_group:
-                wid, arrs, n_specs, idx = meta
+                wid, arrs, n_specs, idx, max_w = meta
                 st = acc.get(wid)
                 if st is None:
                     n_win = len(arrs[4])
@@ -900,7 +914,12 @@ class Classifier:
                         sb=np.zeros(n_win, np.int32),
                         counts=(
                             np.zeros((n_win, self.n_targets + 1), np.int32)
-                            if extended
+                            if extended and not ext_runs
+                            else None
+                        ),
+                        runs=(
+                            np.zeros((n_win, max_w), np.uint16)
+                            if ext_runs
                             else None
                         ),
                     )
@@ -908,7 +927,13 @@ class Classifier:
                 st["ib"][idx] = arrs_f[1]
                 st["b"][idx] = arrs_f[2]
                 st["sb"][idx] = arrs_f[3]
-                if extended:
+                if ext_runs:
+                    # right-align narrower tiers: the pad zeros land BEFORE
+                    # the row's own (ascending, zeros-first) labels, keeping
+                    # every row globally ascending for the run expander
+                    wt = arrs_f[4].shape[1]
+                    st["runs"][idx, max_w - wt :] = arrs_f[4]
+                elif extended:
                     st["counts"][idx] = arrs_f[4]
                 st["remaining"] -= 1
                 if st["remaining"] == 0:

@@ -51,7 +51,12 @@ def top2_from_labels(lab: jnp.ndarray):
     resultKernel CuClarkDB.cu:1361-1411).  Used on the single-device
     non-extended path; extended mode and mesh psum still need dense counts.
     """
-    s = jax.lax.sort(lab, dimension=1)  # [R, S] ascending
+    return top2_from_sorted(jax.lax.sort(lab, dimension=1))
+
+
+def top2_from_sorted(s: jnp.ndarray):
+    """top2_from_labels on an already-sorted [R, S] label grid (extended
+    mode reuses the sorted grid as its compressed per-target counts)."""
     R, S = s.shape
     j = jnp.arange(S, dtype=jnp.int32)[None, :]
     diff = s[:, 1:] != s[:, :-1]

@@ -59,6 +59,16 @@ def _load():
         ctypes.c_char_p, ctypes.c_int64,
     ]
     try:
+        lib.format_rows_extended_sorted.restype = ctypes.c_int64
+        lib.format_rows_extended_sorted.argtypes = [
+            _U8P, _I64P, _I64P, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, _I32P, _I32P, _I32P, _I32P, _I64P,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
+            _I64P, ctypes.c_char_p, ctypes.c_int64,
+        ]
+    except AttributeError:  # stale .so without the symbol
+        pass
+    try:
         lib.abundance_scan.restype = ctypes.c_int64
         lib.abundance_scan.argtypes = [
             _U8P, ctypes.c_int64, ctypes.c_int64,
@@ -228,9 +238,15 @@ class NamesBuffer:
         self.off = np.array(offs, dtype=np.int64)
 
 
+def has_sorted_formatter() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "format_rows_extended_sorted")
+
+
 def format_rows(
     data: bytes, name_start, name_end, total, ibest, best, sbest, norm,
     k: int, names: NamesBuffer, counts=None, n_targets: int = 0,
+    sorted_runs=None,
 ) -> bytes:
     lib = _load()
     arr, dp = _u8(data)
@@ -242,6 +258,24 @@ def format_rows(
     bb = np.ascontiguousarray(best, np.int32)
     sb = np.ascontiguousarray(sbest, np.int32)
     nm = np.ascontiguousarray(norm, np.int64)
+    if sorted_runs is not None:
+        # extended columns expand from each read's sorted label row (run
+        # lengths), shipped as u16 [nreads, width] — O(windows) device cost
+        # and ~2*width bytes/read fetched instead of 4*(T+1)
+        sl = np.ascontiguousarray(sorted_runs, np.uint16)
+        width = sl.shape[1] if sl.ndim == 2 else 0
+        cap = nreads * (192 + 12 * n_targets) + 1024
+        out = ctypes.create_string_buffer(cap)
+        w = lib.format_rows_extended_sorted(
+            dp, _p(ns, _I64P), _p(ne, _I64P),
+            sl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            width, _p(tt, _I32P), _p(ib, _I32P), _p(bb, _I32P),
+            _p(sb, _I32P), _p(nm, _I64P), nreads, n_targets, k,
+            names.buf, _p(names.off, _I64P), out, cap,
+        )
+        if w < 0:
+            raise RuntimeError("format_rows buffer overflow")
+        return out.raw[:w]
     if counts is None:
         cap = nreads * 192 + 1024
         out = ctypes.create_string_buffer(cap)

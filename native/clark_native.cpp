@@ -336,6 +336,99 @@ int64_t format_rows_extended(const uint8_t* data,
                                     out_cap);
 }
 
+// format_rows_extended_sorted: extended CSV from each read's SORTED
+// per-window label row (label+1 ascending, 0 = miss/padding) instead of a
+// dense [nreads, ntargets+1] count matrix.  The device already sorts the
+// row for the top-2 scoring (score.top2_from_labels), so extended mode can
+// ship 2*width bytes/read and stay O(windows) on device regardless of the
+// target count; runs expand to per-target counts here while the CSV is
+// written (one linear merge of the sorted row against t = 1..ntargets).
+static int64_t format_rows_extended_sorted_range(
+    const uint8_t* data, const int64_t* name_start, const int64_t* name_end,
+    const uint16_t* sorted_lab, int64_t width, const int32_t* total,
+    const int32_t* ibest, const int32_t* best, const int32_t* sbest,
+    const int64_t* norm, int64_t r0, int64_t r1, int32_t ntargets, int32_t k,
+    const char* tn_buf, const int64_t* tn_off, char* out, int64_t out_cap) {
+  int64_t w = 0;
+  char name[64];
+  for (int64_t r = r0; r < r1; r++) {
+    int64_t ns = name_start[r], ne = name_end[r];
+    int64_t len = ne - ns;
+    if (len > 39) len = 39;
+    memcpy(name, data + ns, len);
+    name[len] = '\0';
+    if (out_cap - w < 64 + 12ll * ntargets) return -1;
+    int64_t m = snprintf(out + w, out_cap - w, "%s", name);
+    if (m >= out_cap - w) return -1;
+    w += m;
+    const uint16_t* row = sorted_lab + r * width;
+    int64_t j = 0;
+    while (j < width && row[j] == 0) j++;  // leading misses/padding
+    for (int32_t t = 1; t <= ntargets; t++) {
+      int32_t cnt = 0;
+      while (j < width && row[j] == (uint16_t)t) { cnt++; j++; }
+      m = snprintf(out + w, out_cap - w, ",%d", cnt);
+      if (m >= out_cap - w) return -1;
+      w += m;
+    }
+    double gamma = (double)total[r] / ((double)norm[r] - k + 1.0);
+    double delta = (double)(best[r] + sbest[r]);
+    double conf = (delta < 0.001) ? 0.0 : (double)best[r] / delta;
+    const char* tname = tn_buf + tn_off[ibest[r]];
+    m = snprintf(out + w, out_cap - w, ",%g,%s,%u,%g\n", gamma, tname,
+                 (unsigned)best[r], conf);
+    if (m >= out_cap - w) return -1;
+    w += m;
+  }
+  return w;
+}
+
+int64_t format_rows_extended_sorted(
+    const uint8_t* data, const int64_t* name_start, const int64_t* name_end,
+    const uint16_t* sorted_lab,  // [nreads, width], ascending per row
+    int64_t width, const int32_t* total, const int32_t* ibest,
+    const int32_t* best, const int32_t* sbest, const int64_t* norm,
+    int64_t nreads, int32_t ntargets, int32_t k, const char* tn_buf,
+    const int64_t* tn_off, char* out, int64_t out_cap) {
+#ifdef _OPENMP
+  int nt = omp_get_max_threads();
+  if (nreads >= 2048 && nt > 1) {
+    if (nt > 8) nt = 8;
+    int64_t chunk = (nreads + nt - 1) / nt;
+    int64_t scratch_cap = chunk * (192 + 12ll * ntargets) + 64;
+    char* scratch = (char*)malloc((size_t)(scratch_cap * nt));
+    if (scratch) {
+      int64_t lens[8];
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+      for (int t = 0; t < nt; t++) {
+        int64_t r0 = t * chunk;
+        int64_t r1 = r0 + chunk < nreads ? r0 + chunk : nreads;
+        lens[t] = r0 >= r1 ? 0
+                           : format_rows_extended_sorted_range(
+                                 data, name_start, name_end, sorted_lab,
+                                 width, total, ibest, best, sbest, norm, r0,
+                                 r1, ntargets, k, tn_buf, tn_off,
+                                 scratch + t * scratch_cap, scratch_cap);
+      }
+      int64_t w = 0;
+      for (int t = 0; t < nt; t++) {
+        if (lens[t] < 0 || w + lens[t] > out_cap) {
+          free(scratch);
+          return -1;
+        }
+        memcpy(out + w, scratch + t * scratch_cap, (size_t)lens[t]);
+        w += lens[t];
+      }
+      free(scratch);
+      return w;
+    }
+  }
+#endif
+  return format_rows_extended_sorted_range(
+      data, name_start, name_end, sorted_lab, width, total, ibest, best,
+      sbest, norm, 0, nreads, ntargets, k, tn_buf, tn_off, out, out_cap);
+}
+
 // ------------------------------------------------------- paired-end merge
 //
 // Chunked equivalent of the reference's mergePairedFiles (file.cc:205-268):
