@@ -173,3 +173,43 @@ def test_cycled_zero_read_input(setup, strategy):
     )
     gen, n = cyc.classify_bytes(b"@lone_header\n")
     assert b"".join(gen) == b"" and n == 0
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_cycled_multisample_equals_serial(setup, tmp_path, use_native):
+    """Cycle-outer multi-sample scheduling (classify_files with db_cycles>1)
+    must write each sample's CSV byte-equal to a serial per-file run."""
+    from jn_cuclark_tpu.utils import native
+
+    if use_native and not native.available():
+        pytest.skip("native lib not built")
+    tmp_path2, prof, targets, fa = setup
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    from .test_builder import rand_seq
+
+    items = []
+    for s in range(3):
+        p = tmp_path / f"s{s}.fa"
+        with open(p, "w") as f:
+            for i in range(40 + 10 * s):
+                f.write(f">s{s}_r{i}\n{rand_seq(rng, int(rng.integers(20, 250)))}\n")
+        items.append((str(p), None, str(tmp_path / f"res{s}")))
+    plan = BatchPlan(max_reads=64, window_budget=1 << 13)
+    clf = Classifier.load(
+        str(tmp_path2), targets, prof, K, plan=plan,
+        db_cycles=3, use_native=use_native,
+    )
+    stats = clf.classify_files(items, jobs=4)
+    assert [s["reads"] for s in stats] == [40, 50, 60]
+    serial = Classifier.load(
+        str(tmp_path2), targets, prof, K, plan=plan,
+        db_cycles=3, use_native=use_native,
+    )
+    for s, (o, _p, r) in enumerate(items):
+        serial.classify_file(o, str(tmp_path / f"ref{s}"))
+        assert (
+            open(r + ".csv", "rb").read()
+            == open(str(tmp_path / f"ref{s}") + ".csv", "rb").read()
+        ), s
