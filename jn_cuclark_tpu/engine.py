@@ -112,13 +112,18 @@ def _stride_tiers(lengths: np.ndarray) -> np.ndarray:
 
 
 def _pad_rows(nb: int, r_cap: int) -> int:
-    """Row padding for a partial batch: smallest power of two >= nb (floor
-    2048), capped at the tier's full row count — each tier contributes a
-    bounded set of jit shapes while partial-batch pad waste stays < nb."""
-    p = 2048
-    while p < nb:
-        p *= 2
-    return min(p, r_cap)
+    """Row padding for a partial batch: powers of two up to 8192, multiples
+    of 8192 above, capped at the tier's full row count — each tier
+    contributes a bounded set of jit shapes (~10) while pad waste stays
+    <= max(nb, 12.5%) instead of the up-to-2x a pure power-of-two ladder
+    costs at large partial batches (measured 7.7% of config-2's probed
+    slots in one 38k-read partial)."""
+    if nb <= 8192:
+        p = 2048
+        while p < nb:
+            p *= 2
+        return min(p, r_cap)
+    return min(-(-nb // 8192) * 8192, r_cap)
 
 
 class _ScanStream:

@@ -40,7 +40,10 @@ def test_pad_rows_shapes():
     assert _pad_rows(1, 65536) == 2048
     assert _pad_rows(2048, 65536) == 2048
     assert _pad_rows(2049, 65536) == 4096
-    assert _pad_rows(50000, 65536) == 65536
+    assert _pad_rows(8192, 65536) == 8192
+    assert _pad_rows(8193, 65536) == 16384
+    assert _pad_rows(38400, 65536) == 40960  # multiple of 8192, not pow2
+    assert _pad_rows(50000, 65536) == 57344
     assert _pad_rows(3000, 2500) == 2500  # never exceed the tier cap
 
 
