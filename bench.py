@@ -196,9 +196,9 @@ def _c2_load():
 
 def config2(state):
     td, rng, genomes, targets, prof, k, build_s, clf = state
-    # 200k reads: ~5 batches per rep so pipeline fill/drain amortizes
-    # (matches the config-1 steady-state methodology)
-    n_reads = int(os.environ.get("BENCH_C2_READS", "200000"))
+    # 400k reads: ~12 batches per rep so pipeline fill/drain amortizes
+    # (200k left ~0.3s of unhidden fill/drain on a 1.3s rep)
+    n_reads = int(os.environ.get("BENCH_C2_READS", "400000"))
     lens = rng.integers(100, 251, size=n_reads)
     fa = _sim_reads(rng, genomes, n_reads, lens, junk_frac=0.5)
     rps, lps = _rate(clf, fa, k)
@@ -359,6 +359,25 @@ def main():
         extra["config3"] = config3(state)
     if "4" in configs:
         extra["config4"] = config4(state)
+    if "5" in configs:
+        # RefSeq-shape scale run (opt-in: ~8 min DB build cold, multi-GB
+        # cache): 5000 targets x 50 kbp, ~244M discriminative 31-mers,
+        # u32 quotients, auto memory budget + forced labels-strategy
+        # cycling.  benchmarks/refseq_scale.py prints its own JSON line;
+        # the latest measured numbers are committed in BENCH_SCALE.json.
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "benchmarks", "refseq_scale.py")],
+            capture_output=True, text=True,
+        )
+        for line in reversed(r.stdout.splitlines()):
+            if line.startswith("{"):
+                extra["config5"] = json.loads(line)
+                break
 
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     vs = 1.0

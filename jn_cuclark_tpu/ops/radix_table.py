@@ -132,7 +132,15 @@ def plan_table(
     if c is None:
         c = 128 if n >= 500_000 else 16
     if load is None:
-        load = c * 0.44  # ~2.3 slots per key
+        # mean keys/bucket lands in (load/2, load]; 0.69*c keeps the
+        # binomial overflow tail within the stash at any n while ROUNDING
+        # m1 DOWN one step vs the old 0.44*c in most cases — half the
+        # table bytes and slightly FASTER probes (the per-row gather cost
+        # grows with row count; m1=19 vs 20 at 46M keys measured +3%,
+        # docs/ROOFLINE.md §3.6).  At 244M keys (RefSeq scale) this is the
+        # difference between an 8.6 GB table that must cycle and a 4.3 GB
+        # one resident on a v5e.
+        load = c * 0.69
     maxlab = int(labels1.max()) if len(labels1) else 1
     # label bits: the all-ones field is reserved so a valid slot never equals
     # EMPTY, hence maxlab + 2 values must fit
@@ -217,7 +225,7 @@ def build(
     )
 
 
-_CACHE_VERSION = 3  # v3: quotient-trick slots (label always packed)
+_CACHE_VERSION = 4  # v4: load 0.69 geometry (v3: quotient-trick slots)
 
 
 def db_signature(stem: str) -> np.ndarray:
