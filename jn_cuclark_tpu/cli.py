@@ -283,11 +283,11 @@ def cmd_classify(args):
             raise SystemExit(
                 "Device out of memory during classification.\n"
                 f"  {msg.splitlines()[0][:200]}\n"
-                "Try: --db-cycles N (stream the DB in N chunks), --shard-db "
-                "(split the DB index over devices), or a larger -b/--batches "
-                "(smaller device batches).  --db-cycles auto (the default) "
-                "budgets the DB automatically; if the device limit was "
-                "misdetected, set CLARK_TPU_DEVICE_MEM_BYTES."
+                "Try: --db-cycles N (stream the DB in N chunks) or "
+                "--shard-db (split the DB index over devices).  "
+                "--db-cycles auto (the default) budgets the DB "
+                "automatically; if the device limit was misdetected, set "
+                "CLARK_TPU_DEVICE_MEM_BYTES."
             ) from e
         raise
 
