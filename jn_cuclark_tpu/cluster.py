@@ -560,7 +560,16 @@ def launch(cfg: ClusterConfig, log: ClusterLogger, conf_path: str) -> int:
     import threading
 
     conf_path = os.path.abspath(conf_path)
-    hosts = [cfg.master] + [w for w in cfg.workers if w != cfg.master]
+    workers = [w for w in cfg.workers if w != cfg.master]
+    if len(set(workers)) != len(workers):
+        dups = sorted({w for w in workers if workers.count(w) > 1})
+        log.error(
+            f"[cluster] workers lists duplicate host(s): {', '.join(dups)} "
+            "— each worker host must appear once (process ids derive from "
+            "the master+workers order)"
+        )
+        return 1
+    hosts = [cfg.master] + workers
     n = len(hosts)
     if n > 1 and cfg.backend != "jax_distributed":
         log.error(
@@ -569,15 +578,31 @@ def launch(cfg: ClusterConfig, log: ClusterLogger, conf_path: str) -> int:
         )
         return 1
     coord = cfg.coordinator_address or f"{cfg.master}:12357"
+    local_names = {socket.gethostname(), socket.gethostname().split(".")[0]}
+    if n > 1 and cfg.master not in local_names and not cfg.coordinator_address:
+        # process 0 (and the jax.distributed coordinator) runs HERE, but the
+        # workers will dial <master>:12357 — only correct when this host IS
+        # the configured master or coordinator_address points back here
+        log.warning(
+            f"launching from {socket.gethostname()!r} but [cluster] master "
+            f"= {cfg.master!r}: workers will connect to {coord}, which must "
+            "reach THIS process. Launch from the master host or set "
+            "[cluster] coordinator_address explicitly."
+        )
     ssh = shlex.split(os.environ.get("CLARK_TPU_SSH") or cfg.ssh_command)
     launch_cmd = cfg.launch_command
 
     # preflight every remote host before spawning anything (reference
     # behavior: abort the whole launch on an unreachable worker)
     for host in hosts[1:]:
-        r = subprocess.run(
-            ssh + [host, "true"], capture_output=True, text=True, timeout=60
-        )
+        try:
+            r = subprocess.run(
+                ssh + [host, "true"], capture_output=True, text=True,
+                timeout=60,
+            )
+        except subprocess.TimeoutExpired:
+            log.error(f"[{host}] SSH preflight timed out after 60s")
+            return 1
         if r.returncode != 0:
             log.error(
                 f"[{host}] SSH preflight failed (rc={r.returncode}): "
@@ -624,14 +649,14 @@ def launch(cfg: ClusterConfig, log: ClusterLogger, conf_path: str) -> int:
             t.start()
             threads.append(t)
             log.info(f"[{host}] spawned as process {i}/{n}")
-        rcs = {}
-        for host, p in procs:
-            rcs[host] = p.wait()
+        rcs = [(host, p.wait()) for host, p in procs]
         for t in threads:
             t.join(timeout=5)
-        for host, rc in rcs.items():
-            (log.info if rc == 0 else log.error)(f"[{host}] exited rc={rc}")
-        return rcs[hosts[0]] if all(rc == 0 for rc in rcs.values()) else 1
+        for i, (host, rc) in enumerate(rcs):
+            (log.info if rc == 0 else log.error)(
+                f"[{host}] process {i} exited rc={rc}"
+            )
+        return rcs[0][1] if all(rc == 0 for _, rc in rcs) else 1
     finally:
         for _, p in procs:
             if p.poll() is None:

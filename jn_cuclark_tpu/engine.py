@@ -126,6 +126,21 @@ def _pad_rows(nb: int, r_cap: int) -> int:
     return min(-(-nb // 8192) * 8192, r_cap)
 
 
+def _pad_batch(words, vwords, r_pad: int):
+    """Zero-pad a packed batch's rows up to the planner's padded row count
+    (zero rows have no valid windows, so they score as empty and the
+    scatter-back ignores them)."""
+    nb = len(words)
+    if nb < r_pad:
+        words = np.concatenate(
+            [words, np.zeros((r_pad - nb, words.shape[1]), np.uint64)]
+        )
+        vwords = np.concatenate(
+            [vwords, np.zeros((r_pad - nb, vwords.shape[1]), np.uint64)]
+        )
+    return words, vwords
+
+
 class _ScanStream:
     """Record scan of an in-memory FASTA/FASTQ buffer, streamed from a
     background thread in record-aligned chunks (native scanner per chunk,
@@ -286,9 +301,25 @@ class Classifier:
                 # bigger than the per-device budget auto-cycles with no flags
                 from .utils import memory
 
+                # a 2-axis (dp x db) mesh shards table rows over the 'db'
+                # axis; a 1-axis dp mesh replicates the table per device
+                n_shards = 1
+                if mesh is not None and len(mesh.axis_names) == 2:
+                    n_shards = mesh.shape[mesh.axis_names[-1]]
                 db_cycles, budget = memory.auto_db_cycles(
-                    table.nbytes, self.plan.window_budget, table.slot_width
+                    table.nbytes, self.plan.window_budget, table.slot_width,
+                    n_shards=n_shards,
                 )
+                if db_cycles > 1 and mesh is not None:
+                    per_dev = table.nbytes // n_shards
+                    raise RuntimeError(
+                        f"database needs {per_dev >> 20} MB per device but "
+                        f"the device budget is {budget >> 20} MB, and "
+                        "out-of-core cycling does not compose with this "
+                        "mesh mode. Use --shard-db (DB rows sharded over "
+                        "the mesh, composes with cycling) or drop the mesh "
+                        "and let --db-cycles auto stream the table."
+                    )
                 self.db_cycles = db_cycles
                 if db_cycles > 1:
                     import sys
@@ -587,8 +618,30 @@ class Classifier:
             # ONCE and run EVERY sample's batches through it before
             # advancing — N samples cost one table streaming instead of N
             # (threads can't compose with cycling: concurrent runs would
-            # each hold every chunk on the device)
-            return self._classify_files_cycled(items, extended=extended)
+            # each hold every chunk on the device).  It holds every
+            # sample's raw bytes + packed batches in host RAM for the run,
+            # so huge multi-sample inputs fall back to the serial
+            # slab-streamed path instead of exhausting memory.
+            total_bytes = sum(
+                os.path.getsize(p)
+                for o, pp, _ in items
+                for p in (o, pp)
+                if p is not None
+            )
+            cap = int(
+                os.environ.get("CLARK_TPU_CYCLE_OUTER_MAX_BYTES", 4 << 30)
+            )
+            if total_bytes <= cap:
+                return self._classify_files_cycled(items, extended=extended)
+            import sys
+
+            print(
+                f"cycle-outer scheduling skipped: inputs total "
+                f"{total_bytes >> 20} MB > {cap >> 20} MB cap "
+                "(CLARK_TPU_CYCLE_OUTER_MAX_BYTES); running samples "
+                "serially with slab streaming.",
+                file=sys.stderr,
+            )
         if self.db_cycles > 1:
             # out-of-core runs share mutable per-cycle state (the sharded
             # table's current-cycle upload) and each concurrent run would
@@ -688,7 +741,7 @@ class Classifier:
             for s in samples:
                 self._cycled_accumulate(pass_fn, s["packed"], s["acc"], strategy)
             end_pass()
-        stats = []
+        outs = []
         for s in samples:
             out = s["result"] + ".csv"
             with open(out, "wb") as f:
@@ -698,13 +751,21 @@ class Classifier:
                     s["paired"], extended, s["formatter"],
                 ):
                     f.write(chunk)
-            dt = time.time() - t0
+            outs.append(out)
+        # samples interleave inside each table-chunk pass, so per-sample
+        # wall time is not separable: attribute the run's time to each
+        # sample proportional to its read count (the aggregate rate)
+        dt = time.time() - t0
+        n_total = sum(len(s["lengths"]) for s in samples) or 1
+        stats = []
+        for s, out in zip(samples, outs):
+            frac = len(s["lengths"]) / n_total
             stats.append(
                 {
                     "reads": len(s["lengths"]),
-                    "seconds": dt,
+                    "seconds": dt * frac,
                     "reads_per_min": (
-                        int(len(s["lengths"]) / dt * 60.0) if dt > 0 else 0
+                        int(n_total / dt * 60.0) if dt > 0 else 0
                     ),
                     "result": out,
                 }
@@ -762,15 +823,7 @@ class Classifier:
         packed_batches = []
         for idx, stride, r_pad in specs:
             words, vwords = packer(idx, stride)
-            nb = len(idx)
-            if nb < r_pad:
-                words = np.concatenate(
-                    [words, np.zeros((r_pad - nb, words.shape[1]), np.uint64)]
-                )
-                vwords = np.concatenate(
-                    [vwords, np.zeros((r_pad - nb, vwords.shape[1]), np.uint64)]
-                )
-            packed_batches.append((words, vwords))
+            packed_batches.append(_pad_batch(words, vwords, r_pad))
         return specs, packed_batches
 
     def _cycled_strategy(self, packed_lists) -> str:
@@ -987,32 +1040,42 @@ class Classifier:
         ext_mode = "sorted" if ext_runs else extended
 
         def flat_batches():
-            for wid, (w0, arrs, specs) in enumerate(
-                self._plan_windows_stream(scan, wb)
-            ):
+            wid = 0
+            for item in self._plan_hybrid_stream(scan, wb):
+                if item[0] == "direct":
+                    _, r0, r1, stride, r_cap = item
+                    yield ("d", r0, r1, stride, r_cap)
+                    continue
+                _, w0, arrs, specs = item
                 max_w = max(s for _, s, _ in specs) - (k - 1)
                 for idx, stride, r_pad in specs:
-                    yield (wid, arrs, len(specs), idx, stride, r_pad, max_w)
+                    yield ("w", wid, arrs, len(specs), idx, stride, r_pad,
+                           max_w)
+                wid += 1
 
         def dispatch(item):
-            wid, arrs, n_specs, idx, stride, r_pad, max_w = item
+            if item[0] == "d":
+                _, r0, r1, stride, r_cap = item
+                ns, ne, ss, se, ln = scan.arrays(r0, r1)
+                with maybe_phase("pack"):
+                    words, vwords = _native.pack_batch(data, ss, se, stride)
+                    words, vwords = _pad_batch(
+                        words, vwords, _pad_rows(r1 - r0, r_cap)
+                    )
+                with maybe_phase("dispatch"):
+                    return ("d", (ns, ne, ln), r1 - r0), self.batch_fn(
+                        jnp.asarray(words), jnp.asarray(vwords),
+                        extended=ext_mode,
+                    )
+            _, wid, arrs, n_specs, idx, stride, r_pad, max_w = item
             ss, se = arrs[2], arrs[3]
             with maybe_phase("pack"):
                 words, vwords = _native.pack_batch(
                     data, ss[idx], se[idx], stride
                 )
-                nb = len(idx)
-                if nb < r_pad:
-                    words = np.concatenate([
-                        words,
-                        np.zeros((r_pad - nb, words.shape[1]), np.uint64),
-                    ])
-                    vwords = np.concatenate([
-                        vwords,
-                        np.zeros((r_pad - nb, vwords.shape[1]), np.uint64),
-                    ])
+                words, vwords = _pad_batch(words, vwords, r_pad)
             with maybe_phase("dispatch"):
-                return (wid, arrs, n_specs, idx, max_w), self.batch_fn(
+                return ("w", wid, arrs, n_specs, idx, max_w), self.batch_fn(
                     jnp.asarray(words), jnp.asarray(vwords), extended=ext_mode
                 )
 
@@ -1028,7 +1091,7 @@ class Classifier:
                 )
             out = []
             for (meta, _), arrs_f in zip(group, fetched):
-                nb = len(meta[3])
+                nb = meta[2] if meta[0] == "d" else len(meta[4])
                 out.append((meta, tuple(a[:nb] for a in arrs_f)))
             return out
 
@@ -1049,7 +1112,22 @@ class Classifier:
         groups = itertools.batched(entries, g)
         for got_group in self._pipelined(groups, fetch_group, depth=2):
             for meta, arrs_f in got_group:
-                wid, arrs, n_specs, idx, max_w = meta
+                if meta[0] == "d":
+                    _, (ns, ne, ln), nb = meta
+                    with maybe_phase("format"):
+                        yield _native.format_rows(
+                            data, ns, ne, arrs_f[0], arrs_f[1], arrs_f[2],
+                            arrs_f[3], ln - nbn, k, names_buf,
+                            counts=(
+                                arrs_f[4]
+                                if extended and not ext_runs
+                                else None
+                            ),
+                            sorted_runs=arrs_f[4] if ext_runs else None,
+                            n_targets=self.n_targets if extended else 0,
+                        )
+                    continue
+                _, wid, arrs, n_specs, idx, max_w = meta
                 st = acc.get(wid)
                 if st is None:
                     n_win = len(arrs[4])
@@ -1315,27 +1393,48 @@ class Classifier:
                 specs.append((chunk, t, _pad_rows(len(chunk), r_cap)))
         return specs
 
-    def _plan_windows_stream(self, scan: _ScanStream, window_batches: int):
-        """Yield (w0, arrs, specs) planning windows over the streaming scan:
-        ~window_batches' worth of padded chars per window, blocking only
-        until the window being emitted has been scanned.  arrs are the
-        window's (ns, ne, ss, se, ln) scan arrays."""
-        budget = self.plan.window_budget * max(window_batches, 1)
+    def _plan_hybrid_stream(self, scan: _ScanStream, window_batches: int):
+        """Adaptive streaming planner.  While the stream is single-tier it
+        yields ("direct", r0, r1, stride, r_cap) file-order contiguous
+        batches — dispatch stays scan-paced, which matters on remote
+        runtimes where a burst of H2D transfers head-of-line-blocks the
+        result fetches (measured: bursty dispatch of 7 uniform batches ran
+        ~2x slower end-to-end than scan-paced file order).  When a
+        candidate batch mixes tiers it yields ("window", w0, arrs, specs)
+        length-bucketed windows of ~window_batches' worth of padded chars,
+        whose dense same-stride batches are the round-3 mixed-length win."""
+        budget = self.plan.window_budget
+        wbudget = budget * max(window_batches, 1)
         CH = 1 << 14
-        w0 = 0
+        r0 = 0
         while True:
-            if scan.ensure(w0 + 1) <= w0:
+            if scan.ensure(r0 + 1) <= r0:
                 return
-            w1, cost, parts = w0, 0, []
-            while cost < budget:
+            (first_len,) = scan.arrays(r0, r0 + 1)[4]
+            t0 = int(_stride_tiers(np.array([first_len]))[0])
+            if t0 > budget:
+                raise RuntimeError(
+                    f"read of length ~{first_len} exceeds window budget "
+                    f"{budget}"
+                )
+            r_cap = max(min(self.plan.max_reads, budget // t0), 1)
+            avail = scan.ensure(r0 + r_cap)
+            r1 = min(r0 + r_cap, avail)
+            tiers = _stride_tiers(scan.arrays(r0, r1)[4])
+            if np.all(tiers == t0):
+                yield "direct", r0, r1, t0, r_cap
+                r0 = r1
+                continue
+            w1, cost, parts = r0, 0, []
+            while cost < wbudget:
                 avail = scan.ensure(w1 + CH)
                 take = min(avail, w1 + CH)
                 if take == w1:
                     break
                 t = _stride_tiers(scan.arrays(w1, take)[4])
                 cum = np.cumsum(t, dtype=np.int64) + cost
-                if cum[-1] >= budget:
-                    cut = int(np.searchsorted(cum, budget, side="left")) + 1
+                if cum[-1] >= wbudget:
+                    cut = int(np.searchsorted(cum, wbudget, side="left")) + 1
                     cut = min(cut, len(t))
                     parts.append(t[:cut])
                     w1 += cut
@@ -1344,11 +1443,12 @@ class Classifier:
                 cost = int(cum[-1])
                 w1 = take
             tiers = np.concatenate(parts)
-            yield w0, scan.arrays(w0, w1), self._window_specs(tiers)
-            w0 = w1
+            yield "window", r0, scan.arrays(r0, w1), self._window_specs(tiers)
+            r0 = w1
 
     def _plan_windows_arr(self, lengths: np.ndarray, window_batches: int):
-        """_plan_windows_stream for fully-materialized lengths; yields
+        """Length-bucketed window planning for fully-materialized lengths
+        (packed fallback path); yields
         (w0, w1, specs)."""
         budget = self.plan.window_budget * max(window_batches, 1)
         tiers = _stride_tiers(lengths)
@@ -1382,14 +1482,7 @@ class Classifier:
         def dispatch(item):
             wid, w0, w1, n_specs, idx, stride, r_pad = item
             words, vwords = pack.pack_batch_idx(rs, idx, stride)
-            nb = len(idx)
-            if nb < r_pad:
-                words = np.concatenate(
-                    [words, np.zeros((r_pad - nb, words.shape[1]), np.uint64)]
-                )
-                vwords = np.concatenate(
-                    [vwords, np.zeros((r_pad - nb, vwords.shape[1]), np.uint64)]
-                )
+            words, vwords = _pad_batch(words, vwords, r_pad)
             return (wid, w0, w1, n_specs, idx), self.batch_fn(
                 jnp.asarray(words), jnp.asarray(vwords), extended=extended
             )

@@ -97,9 +97,10 @@ def auto_db_cycles(
             f"device limit {limit >> 20} MB minus reserved "
             f"{RESERVED >> 20} MB minus batch transients "
             f"{probe_transient_bytes(window_budget, c) >> 20} MB. "
-            "Lower BatchPlan.window_budget / -b, shard the DB over more "
-            "devices (--shard-db / -d), or set CLARK_TPU_DEVICE_MEM_BYTES "
-            "if the device limit was misdetected."
+            "Shard the DB over more devices (--shard-db / -d), lower "
+            "BatchPlan.window_budget (config.json: plan.window_budget), "
+            "or set CLARK_TPU_DEVICE_MEM_BYTES if the device limit was "
+            "misdetected."
         )
     per_shard = -(-table_bytes // max(n_shards, 1))
     cycles = max(-(-per_shard // budget), 1)

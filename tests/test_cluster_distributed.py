@@ -492,3 +492,22 @@ file = cluster_run.log
     for node in ("nodeA", "nodeB"):
         csv = (tmp_path / "results" / f"{node}_{node}.csv").read_text().splitlines()
         assert len(csv) == 16
+
+
+def test_launch_duplicate_workers_rejected(tmp_path):
+    """Duplicate hosts in [cluster] workers would collapse process
+    identities (hostname-based) — the launcher lints and refuses."""
+    from jn_cuclark_tpu import cluster
+    from jn_cuclark_tpu.utils.logging import ClusterLogger
+
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        "[cluster]\nmaster = hostA\nworkers = hostB, hostB\n"
+        "backend = jax_distributed\n"
+        f"[paths]\ncuclark_dir = {tmp_path}\ndatabase_dir = {tmp_path}\n"
+        f"results_dir = {tmp_path}\n[reads]\nhostA = {tmp_path}/r.fa\n"
+    )
+    cfg = cluster.ClusterConfig.load(str(conf))
+    log = ClusterLogger(level="ERROR", logfile=str(tmp_path / "l.log"))
+    assert cluster.launch(cfg, log, str(conf)) == 1
+    assert "duplicate host" in (tmp_path / "l.log").read_text()

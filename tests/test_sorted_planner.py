@@ -165,3 +165,44 @@ def test_sorted_paired_equals_fileorder(setup):
         plan=BatchPlan(sort_batches=False, **kw),
     )
     assert _csv(a, merged, paired=True) == _csv(b, merged, paired=True)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+@pytest.mark.parametrize("extended", [False, True])
+def test_hybrid_direct_blocks_equal_fileorder(setup, use_native, extended):
+    """Uniform single-tier stretches take the hybrid planner's scan-paced
+    direct (file-order) path; tier changes switch to bucketed windows —
+    the transitions must keep the CSV byte-identical (and the direct path
+    must carry extended counts / sorted runs correctly)."""
+    tmp_path, prof, targets, _ = setup
+    if use_native and not native.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(42)
+    g = rand_seq(rng, 900)
+    reads = []
+    # uniform block (one tier -> several direct batches at max_reads=16)
+    for i in range(80):
+        pos = int(rng.integers(0, len(g) - 100))
+        reads.append((f"u{i}", g[pos : pos + 100]))
+    # mixed block (tiers interleave -> bucketed windows)
+    for i in range(60):
+        ln = int(rng.integers(20, 280))
+        pos = int(rng.integers(0, max(len(g) - ln, 1)))
+        reads.append((f"m{i}", g[pos : pos + ln]))
+    # trailing uniform block (back to direct)
+    for i in range(40):
+        pos = int(rng.integers(0, len(g) - 150))
+        reads.append((f"t{i}", g[pos : pos + 150]))
+    fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
+    kw = dict(max_reads=16, window_budget=1 << 12)
+    a = Classifier.load(
+        str(tmp_path), targets, prof, K,
+        plan=BatchPlan(sort_batches=True, sort_window_batches=2, **kw),
+        use_native=use_native,
+    )
+    b = Classifier.load(
+        str(tmp_path), targets, prof, K,
+        plan=BatchPlan(sort_batches=False, **kw),
+        use_native=use_native,
+    )
+    assert _csv(a, fa, extended=extended) == _csv(b, fa, extended=extended)
