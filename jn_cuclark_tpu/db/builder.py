@@ -287,8 +287,8 @@ def build_database(
     use_native = native.available()
     lidx = targets.label_index
     occ_c: list[np.ndarray] = []
-    occ_l: list[np.ndarray] = []
     occ_v: list[np.ndarray] = []
+    file_lids: list[int] = []
     all_unit_counts = True
     for path, lbl in zip(targets.files, targets.file_labels):
         with open(path, "rb") as f:
@@ -303,11 +303,17 @@ def build_database(
         else:
             occ = extract_spectrum(data, k, profile.light, gap, min_count_target)
         occ_c.append(occ.canonical)
-        occ_l.append(np.full(len(occ.canonical), lidx[lbl], dtype=np.int64))
+        file_lids.append(lidx[lbl])
         occ_v.append(occ.counts)  # None => unit counts
         all_unit_counts = all_unit_counts and occ.counts is None
     canon_all = np.concatenate(occ_c) if occ_c else np.zeros(0, np.uint64)
-    lbl_all = np.concatenate(occ_l) if occ_l else np.zeros(0, np.int64)
+    # one int32 repeat instead of per-file full() arrays + a concat (+ an
+    # int64->int32 convert in the native wrapper): ~10x less label traffic
+    # on multi-100M-occurrence builds
+    lbl_all = np.repeat(
+        np.asarray(file_lids, np.int32),
+        np.asarray([len(c) for c in occ_c], np.int64),
+    ) if occ_c else np.zeros(0, np.int32)
 
     # the reference's light build never writes .ht files regardless of --tsk
     # (makeSpecificTargetSets light branch has no Save* calls)

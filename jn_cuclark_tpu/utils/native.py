@@ -15,6 +15,7 @@ _I64P = ctypes.POINTER(ctypes.c_int64)
 _I32P = ctypes.POINTER(ctypes.c_int32)
 _U64P = ctypes.POINTER(ctypes.c_uint64)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
+_U16P = ctypes.POINTER(ctypes.c_uint16)
 
 _lib = None
 _tried = False
@@ -370,6 +371,12 @@ def _ensure_build_sigs(lib):
     ]
     lib.saturating_group_sum.restype = None
     lib.saturating_group_sum.argtypes = [_I64P, ctypes.c_int64, _I64P, _I64P]
+    if hasattr(lib, "serialize_db"):
+        lib.serialize_db.restype = ctypes.c_int32
+        lib.serialize_db.argtypes = [
+            _U64P, _U16P, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_int32, _U8P, _U8P, _U16P,
+        ]
     lib._build_sigs = True
 
 
@@ -408,6 +415,33 @@ def saturating_group_sum(bounds: np.ndarray, v: np.ndarray) -> np.ndarray:
     lib.saturating_group_sum(_p(bounds, _I64P), ngroups, _p(v, _I64P),
                              _p(out, _I64P))
     return out[:ngroups]
+
+
+def has_serialize_db() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "serialize_db")
+
+
+def serialize_db(canon, labels, htsize: int, rem_bits: int, key_dtype):
+    """Fused bucket-major DB layout: (sizes u8[htsize], keys, labels)
+    ready for .sz/.ky/.lb tofile — byte-identical to the numpy path.
+    Raises ValueError when a bucket exceeds 255 entries."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    canon = np.ascontiguousarray(canon, np.uint64)
+    labels = np.ascontiguousarray(labels, np.uint16)
+    n = len(canon)
+    sizes = np.zeros(htsize, np.uint8)
+    keys = np.empty(max(n, 1), key_dtype)
+    labs = np.empty(max(n, 1), np.uint16)
+    rc = lib.serialize_db(
+        _p(canon, _U64P), _p(labels, _U16P), n, htsize, rem_bits,
+        np.dtype(key_dtype).itemsize, _p(sizes, _U8P),
+        keys.ctypes.data_as(_U8P), _p(labs, _U16P),
+    )
+    if rc != 0:
+        raise ValueError("bucket list size exceeds 255")
+    return sizes, keys[:n], labs[:n]
 
 
 def aggregate_occurrences(canon, label, pg, lelement: bool):

@@ -79,3 +79,23 @@ def test_bucket_overflow_rejected(tmp_path):
     labels = np.zeros(300, dtype=np.uint16)
     with pytest.raises(dbformat.DBFormatError):
         dbformat.write_db(str(tmp_path / "db"), prof, 9, canon, labels)
+
+
+@pytest.mark.parametrize("htsize,k", [(65521, 16), (1048573, 27), (16777259, 31)])
+def test_native_serialize_matches_numpy(tmp_path, htsize, k, monkeypatch):
+    """The fused native serialize_db must write byte-identical .sz/.ky/.lb
+    to the numpy mod/div + argsort + RLE path at every key width."""
+    from jn_cuclark_tpu.utils import native
+
+    if not (native.available() and native.has_serialize_db()):
+        pytest.skip("native serialize_db not built")
+    prof = params.tiny(htsize=htsize, k=k)
+    rng = np.random.default_rng(3)
+    canon = np.unique(rng.integers(0, 1 << (2 * k), size=60000, dtype=np.uint64))
+    labels = rng.integers(0, 500, size=len(canon)).astype(np.uint16)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    dbformat.write_db(a, prof, k, canon, labels)
+    monkeypatch.setattr(native, "has_serialize_db", lambda: False)
+    dbformat.write_db(b, prof, k, canon, labels)
+    for ext in (".sz", ".ky", ".lb"):
+        assert open(a + ext, "rb").read() == open(b + ext, "rb").read()
