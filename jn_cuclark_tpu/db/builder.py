@@ -282,6 +282,16 @@ def build_database(
     `folder` is the database directory (the reference's -D).
     """
     gap = profile.default_gap if gap is None else gap
+    from ..params import MTRGTS
+
+    if targets.n_targets > MTRGTS:
+        # labels are u16 on disk and in the native aggregate payload
+        # (dataType.hh:46); past the cap they would silently truncate
+        raise ValueError(
+            f"{targets.n_targets} targets exceed the format's maximum of "
+            f"{MTRGTS} (labels are 16-bit, dataType.hh:46); merge targets "
+            "or split the database"
+        )
     from ..utils import native
 
     use_native = native.available()

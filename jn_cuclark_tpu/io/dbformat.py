@@ -55,10 +55,10 @@ def write_db(
             sizes, ky, lb = native.serialize_db(
                 canonical, labels, profile.htsize, rem_bits, key_dtype
             )
-        except ValueError:
+        except native.BucketOverflowError:
             raise DBFormatError(
                 "bucket list size exceeds 255; use a larger hash-table size"
-            )
+            ) from None
         with open(stem + ".sz", "wb") as f:
             sizes.tofile(f)
         with open(stem + ".ky", "wb") as f:

@@ -367,7 +367,7 @@ def _ensure_build_sigs(lib):
     lib.aggregate_occurrences.restype = ctypes.c_int64
     lib.aggregate_occurrences.argtypes = [
         _U64P, _I32P, ctypes.c_int64, _I32P, ctypes.c_int32,
-        _U64P, _I32P, _I32P, _I64P, _I64P, _I64P,
+        _U64P, _I32P, _I32P, _I64P, _I64P,
     ]
     lib.saturating_group_sum.restype = None
     lib.saturating_group_sum.argtypes = [_I64P, ctypes.c_int64, _I64P, _I64P]
@@ -422,10 +422,15 @@ def has_serialize_db() -> bool:
     return lib is not None and hasattr(lib, "serialize_db")
 
 
+class BucketOverflowError(ValueError):
+    """A hash bucket exceeded the format's 255-entry cap
+    (hashTable_hh.hh:499-507)."""
+
+
 def serialize_db(canon, labels, htsize: int, rem_bits: int, key_dtype):
     """Fused bucket-major DB layout: (sizes u8[htsize], keys, labels)
     ready for .sz/.ky/.lb tofile — byte-identical to the numpy path.
-    Raises ValueError when a bucket exceeds 255 entries."""
+    Raises BucketOverflowError when a bucket exceeds 255 entries."""
     lib = _load()
     _ensure_build_sigs(lib)
     canon = np.ascontiguousarray(canon, np.uint64)
@@ -440,7 +445,7 @@ def serialize_db(canon, labels, htsize: int, rem_bits: int, key_dtype):
         keys.ctypes.data_as(_U8P), _p(labs, _U16P),
     )
     if rc != 0:
-        raise ValueError("bucket list size exceeds 255")
+        raise BucketOverflowError("bucket list size exceeds 255")
     return sizes, keys[:n], labs[:n]
 
 
@@ -457,11 +462,10 @@ def aggregate_occurrences(canon, label, pg, lelement: bool):
     om = np.empty(max(n, 1), np.int32)
     on = np.empty(max(n, 1), np.int64)
     of = np.empty(max(n, 1), np.int64)
-    scratch = np.empty(max(n, 1), np.int64)
     ng = lib.aggregate_occurrences(
         _p(canon, _U64P), _p(label, _I32P), n, _p(pg, _I32P),
         1 if lelement else 0,
         _p(oc, _U64P), _p(ol, _I32P), _p(om, _I32P), _p(on, _I64P),
-        _p(of, _I64P), _p(scratch, _I64P),
+        _p(of, _I64P),
     )
     return oc[:ng], ol[:ng], om[:ng], on[:ng], of[:ng]  # views

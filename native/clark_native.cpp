@@ -635,15 +635,15 @@ int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
                               int64_t n, const int32_t* pg, int32_t lelement,
                               uint64_t* out_canon, int32_t* out_label,
                               int32_t* out_mult, int64_t* out_count,
-                              int64_t* out_first_seq, int64_t* scratch_idx) {
+                              int64_t* out_first_seq) {
   // sort (canonical, stream_index<<16 | label) pairs: the payload carries
   // BOTH the label and the stream index, so the emit pass below reads kv
   // sequentially instead of gathering canon[i]/label[i] through a
   // permutation (the gathers were ~1/3 of the aggregate wall at 250M
   // occurrences).  Comparing the payload on equal keys reproduces the
   // stable stream order exactly (stream indices are distinct).  Labels
-  // must fit 16 bits (MTRGTS <= 65535, dataType.hh:46) and indices 48.
-  (void)scratch_idx;
+  // must fit 16 bits (MTRGTS <= 65535, dataType.hh:46 — enforced by
+  // build_database before calling in) and indices 48.
   std::vector<KV> kv(n);
 #ifdef _OPENMP
 #pragma omp parallel for
@@ -789,9 +789,11 @@ int64_t abundance_scan(const uint8_t* d, int64_t n, int64_t idx,
 // labels in one pass.  Replaces the numpy mod/div + composite pack +
 // argsort + three gathers + RLE-scatter chain (~2.5x end-to-end on a
 // 250M-key serialize; the .sz scatter becomes a sequential ascending
-// write).  Distinct canonicals mean no equal composites, so the unstable
-// parallel sort is deterministic and the output byte-identical to the
-// numpy path.  Requires rem_bits + quotient bits <= 64 (k <= 31; the
+// write).  PSORT is a STABLE sort, so equal composites (duplicate
+// canonical k-mers — possible only for callers outside the builder, whose
+// aggregate guarantees distinctness) keep input order, matching the numpy
+// stable-argsort path byte for byte.  Requires rem_bits + quotient bits
+// <= 64 (k <= 31; the
 // caller keeps the k == 32 lexsort fallback).  Returns 0, or -1 when a
 // bucket exceeds 255 entries (the reference's hard format limit,
 // hashTable_hh.hh:499-507).

@@ -312,3 +312,15 @@ def test_device_build_falls_back_on_failure(tmp_path, monkeypatch, capsys):
     d2.mkdir()
     ref = builder.build_database(targets, str(d2), prof, 9)
     assert np.array_equal(db.canonical, ref.canonical)
+
+
+def test_too_many_targets_rejected(tmp_path):
+    """Labels are u16 (MTRGTS, dataType.hh:46); past the cap the build must
+    fail loudly instead of silently truncating labels."""
+    n = params.MTRGTS + 1
+    targets = TargetsDef(
+        files=[], file_labels=[], file_labels_c=[],
+        labels=[f"L{i}" for i in range(n)], labels_c=[],
+    )
+    with pytest.raises(ValueError, match="16-bit"):
+        builder.build_database(targets, str(tmp_path), params.FULL, 31)
