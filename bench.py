@@ -109,26 +109,93 @@ def _sim_reads(rng, genomes, n_reads, lens, junk_frac=0.0, prefix="r"):
     return "".join(out).encode()
 
 
+def _tunnel_canary(budget_s: float = 180.0):
+    """Fixed-size device round trips measured BEFORE the benchmark configs,
+    so a bad recorded headline is attributable: when these numbers are off
+    their attached-hardware scale (H2D multi-GB/s, gather ~ms, RT ~sub-ms)
+    the run went through a degraded tunnel and the configs are hostage to
+    it; when they are nominal, a regression is the code's.  Runs in a
+    daemon thread with a wall cap — a hung tunnel records as 'timeout'
+    instead of hanging the bench."""
+    import threading
+
+    out = {}
+
+    def run():
+        import jax
+        import jax.numpy as jnp
+
+        d = jax.devices()[0]
+        out["device"] = str(d)
+        x = np.random.default_rng(0).integers(
+            0, 2**31, size=(1 << 24,), dtype=np.int32
+        )  # 64 MB
+        t0 = time.time()
+        xd = jax.device_put(x, d)
+        xd.block_until_ready()
+        out["h2d_64mb_s"] = round(time.time() - t0, 3)
+        idx = np.random.default_rng(1).integers(
+            0, 1 << 24, size=(1 << 22,), dtype=np.int32
+        )
+        idxd = jax.device_put(idx, d)
+        idxd.block_until_ready()
+        g = jax.jit(lambda a, i: a[i])
+        g(xd, idxd).block_until_ready()  # compile
+        t0 = time.time()
+        g(xd, idxd).block_until_ready()
+        out["gather_4m_s"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        float(jnp.sum(xd[:8]))
+        out["scalar_rt_s"] = round(time.time() - t0, 4)
+
+    t = threading.Thread(target=run, daemon=True)
+    t0 = time.time()
+    t.start()
+    t.join(budget_s)
+    out["wall_s"] = round(time.time() - t0, 2)
+    if t.is_alive():
+        out["timeout"] = True
+    return out
+
+
 def _rate(clf, fa, k, reps=3, paired=False):
-    """Best-of-reps steady-state (reads/s, valid_windows/s)."""
+    """Best-of-reps steady-state (reads/s, valid_windows/s, diagnostics).
+
+    Diagnostics carry every rep's rate (cross-rep spread = tunnel jitter)
+    and the best rep's per-phase host/device breakdown from
+    utils/profiling, so a regressed recorded number shows WHERE the time
+    went (scan/pack/dispatch/device_wait/format)."""
+    from jn_cuclark_tpu.utils import profiling
+
     # warmup/compile on a quarter
     for _ in clf.classify_bytes(fa[: max(len(fa) // 4, 1)], paired=paired)[0]:
         pass
     best = 0.0
     n = 0
+    rep_rates = []
+    best_phases = {}
     for _ in range(reps):
-        t0 = time.time()
-        n = 0
-        gen, n_reads = clf.classify_bytes(fa, paired=paired)
-        for chunk in gen:
-            n += chunk.count(b"\n")
-        dt = time.time() - t0
-        best = max(best, n / dt)
+        with profiling.collect() as ph:
+            t0 = time.time()
+            n = 0
+            gen, n_reads = clf.classify_bytes(fa, paired=paired)
+            for chunk in gen:
+                n += chunk.count(b"\n")
+            dt = time.time() - t0
+        rate = n / dt
+        rep_rates.append(round(rate, 1))
+        if rate > best:
+            best = rate
+            best_phases = {
+                name: round(tot, 3) for name, tot in ph.totals.items()
+            }
+            best_phases["wall"] = round(dt, 3)
     from jn_cuclark_tpu.io.fasta import parse_reads
 
     lens = parse_reads(fa).read_lengths
     windows = int(np.maximum(lens - k + 1, 0).sum())
-    return best, best * windows / max(n, 1)
+    diag = {"rep_reads_per_sec": rep_rates, "best_rep_phases": best_phases}
+    return best, best * windows / max(n, 1), diag
 
 
 # ----------------------------------------------------------------- config 1
@@ -160,13 +227,14 @@ def config1():
         plan=BatchPlan(max_reads=1 << 16, window_budget=1 << 23,
                        pipeline_depth=6),
     )
-    rps, lps = _rate(clf, fa, k)
+    rps, lps, diag = _rate(clf, fa, k)
     return dict(
         reads_per_sec=round(rps, 2),
         kmer_lookups_per_sec=round(lps, 2),
         db_build_seconds=build_s,
         workload=f"3x{genome_len}bp genomes, {n_reads} x 150bp reads, "
                  f"0% junk (all windows hit), k={k}",
+        **diag,
     )
 
 
@@ -201,7 +269,7 @@ def config2(state):
     n_reads = int(os.environ.get("BENCH_C2_READS", "400000"))
     lens = rng.integers(100, 251, size=n_reads)
     fa = _sim_reads(rng, genomes, n_reads, lens, junk_frac=0.5)
-    rps, lps = _rate(clf, fa, k)
+    rps, lps, diag = _rate(clf, fa, k)
 
     # paired subset: mates drawn 200bp apart, merged with the native merger
     n_pairs = int(os.environ.get("BENCH_C2_PAIRS", "100000"))
@@ -240,6 +308,7 @@ def config2(state):
         workload=f"{len(genomes)}x{len(genomes[0])}bp genomes k={k}, "
                  f"{n_reads} reads of 100-250bp, 50% random junk "
                  f"(~50% read-level miss rate), + {n_pairs} merged pairs",
+        **diag,
     )
 
 
@@ -344,10 +413,22 @@ def config4(state):
 
 
 def main():
+    # the container's sitecustomize pins JAX_PLATFORMS; honor an explicit
+    # platform override (e.g. BENCH_PLATFORM=cpu to smoke-test the bench
+    # itself without the TPU tunnel)
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     import jn_cuclark_tpu  # noqa: F401
 
     configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4").split(",")
     extra = {}
+
+    # tunnel canary FIRST: fixed device round trips that attribute a bad
+    # headline to tunnel degradation vs a code regression (VERDICT r3)
+    extra["canary"] = _tunnel_canary()
 
     c1 = config1()
     extra["kmer_lookups_per_sec"] = c1["kmer_lookups_per_sec"]
@@ -382,6 +463,9 @@ def main():
             if line.startswith("{"):
                 extra["config5"] = json.loads(line)
                 break
+
+    # post-run canary: a tunnel can degrade mid-run; pre vs post shows it
+    extra["canary_post"] = _tunnel_canary(budget_s=120.0)
 
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     vs = 1.0

@@ -1028,12 +1028,11 @@ class Classifier:
         wb = 1 if extended else self.plan.sort_window_batches
         # extended columns from the device's sorted label grid instead of a
         # dense count matrix: O(windows) device cost regardless of target
-        # count and ~20x smaller fetches (single-device path; the mesh
-        # batch_fns psum dense counts, and label+1 must fit u16)
+        # count and ~20x smaller fetches, on single devices and every mesh
+        # mode (the mesh batch_fns psum per-window labels over 'db' and
+        # sort per shard-local rows; label+1 must fit u16)
         ext_runs = (
             bool(extended)
-            and self.mesh is None
-            and getattr(self, "sharded", None) is None
             and self.n_targets < 65535
             and _native.has_sorted_formatter()
         )

@@ -273,6 +273,21 @@ class ShardedRadixTable:
                 )
 
             out_specs = (row_spec,) * 5
+        elif kind == "classify_sorted":
+            # sorted-runs extended: psum the per-window label grid over the
+            # db axis (disjoint shards), sort rows on device, ship u16 runs
+            # — extended mode costs the same device step and fetch as
+            # non-extended at ANY target count, replacing the dense
+            # [R, T+1] psum the counts kind pays (VERDICT r3 item 2)
+            def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
+                lab = local_labels(
+                    slots_blk, lab_blk, sk, sl, words, vwords, cycle
+                )
+                s = jax.lax.sort(lab, dimension=1)
+                total, ib, b_, isb, sb = score.top2_from_sorted(s)
+                return total, ib, b_, sb, s.astype(jnp.uint16)
+
+            out_specs = (row_spec,) * 5
         else:
 
             def f(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
@@ -322,10 +337,15 @@ class ShardedRadixTable:
 
     def classify(self, words, vwords, extended=True):
         """Single-cycle full batch step: (total, ibest, best, sbest, counts),
-        replicated on every device/process."""
+        replicated on every device/process.  extended="sorted" returns the
+        sorted u16 label grid as the 5th output (sorted-runs extended)."""
         assert self.n_cycles == 1
+        if extended == "sorted":
+            kind = "classify_sorted"
+        else:
+            kind = "classify" if extended else "classify_top2"
         _, slots, labels, cyc = self._cur
-        return self._fn("classify" if extended else "classify_top2")(
+        return self._fn(kind)(
             slots, labels, self._sk, self._sl,
             self._feed(words), self._feed(vwords), cyc,
         )
@@ -444,6 +464,13 @@ def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
                     lab.reshape(R, S)
                 )
                 return total, ib, b_, sb, jnp.zeros((R, 0), jnp.int32)
+            if extended == "sorted":
+                # extended columns as the sorted per-window label grid
+                # (u16 runs): same O(windows) device cost as non-extended
+                # on ANY mesh, vs the dense [R, T+1] psum/fetch
+                s = jax.lax.sort(lab.reshape(R, S), dimension=1)
+                total, ib, b_, isb, sb = score.top2_from_sorted(s)
+                return total, ib, b_, sb, s.astype(jnp.uint16)
             rid = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
             counts = score.counts_from_hits(lab, rid, R, n_targets)
             total, ib, b_, isb, sb = score.read_results(counts)
