@@ -376,6 +376,11 @@ def _cmd_classify(args):
                     stats = clf.classify_file(
                         obj, res, paired_path=mate, extended=args.extended
                     )
+                if args.verbose and stats.get("hit_stats") is not None:
+                    # distinct-targets-hit distribution, as the reference
+                    # prints after its extended writer
+                    # (CuCLARK_hh.hh:2064-2067)
+                    print(stats["hit_stats"].report(), file=sys.stderr)
                 total_reads += stats["reads"]
                 print(
                     f"Done in {stats['seconds']:.1f}s "

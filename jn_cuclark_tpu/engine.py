@@ -225,6 +225,50 @@ class _ScanStream:
         return tuple(out)
 
 
+class HitStats:
+    """Distinct-targets-hit-per-read accumulator (extended runs only),
+    mirroring the reference's nonzero_count MIN/MAX/AVG stderr report
+    (CuCLARK_hh.hh:1979-1980, 2053-2067)."""
+
+    def __init__(self, n_targets: int):
+        self.min = n_targets  # m_targetsName.size()-1 initial value
+        self.max = 0
+        self.sum = 0
+        self.n = 0
+
+    def update_counts(self, counts: np.ndarray):
+        """Dense [R, T+1] count rows -> per-read distinct target counts."""
+        d = np.count_nonzero(counts[:, 1:], axis=1)
+        self._update(d)
+
+    def update_runs(self, runs: np.ndarray):
+        """Sorted per-window label rows [R, W] (zeros-first) -> distinct
+        label count per row."""
+        if runs.shape[1] == 0:
+            self._update(np.zeros(runs.shape[0], np.int64))
+            return
+        d = ((runs[:, 1:] != runs[:, :-1]) & (runs[:, 1:] > 0)).sum(axis=1)
+        d = d + (runs[:, 0] > 0)
+        self._update(d)
+
+    def _update(self, d: np.ndarray):
+        if len(d):
+            self.min = min(self.min, int(d.min()))
+            self.max = max(self.max, int(d.max()))
+            self.sum += int(d.sum())
+        self.n += len(d)
+
+    def report(self) -> str:
+        """The reference's exact stderr line: AVG in float32 like
+        `(float)nonzero_sum / m_nbObjects` (CuCLARK_hh.hh:2064-2067)."""
+        with np.errstate(invalid="ignore"):
+            avg = np.float32(self.sum) / np.float32(self.n)
+        return (
+            f"MIN targets: {self.min}, MAX targets: {self.max}, "
+            f"AVG targets: {'%g' % avg}"
+        )
+
+
 class Classifier:
     """Single- or multi-device CLARK classifier over a loaded database."""
 
@@ -476,11 +520,19 @@ class Classifier:
         )
 
     # -------------------------------------------------------------- classify
-    def classify_bytes(self, data: bytes, paired: bool = False, extended: bool = False):
+    def classify_bytes(
+        self,
+        data: bytes,
+        paired: bool = False,
+        extended: bool = False,
+        hit_stats: HitStats | None = None,
+    ):
         """Classify one in-memory FASTA/FASTQ file; returns (rows, n_reads).
 
         rows is a generator of formatted CSV body chunks (bytes, one or more
-        whole lines per chunk).
+        whole lines per chunk).  `hit_stats` (extended runs only)
+        accumulates the reference's MIN/MAX/AVG distinct-targets-hit
+        report (CuCLARK_hh.hh:2053-2067).
         """
         from .utils import native as _native
 
@@ -489,7 +541,8 @@ class Classifier:
                 with maybe_phase("scan"):
                     is_fa, ns, ne, ss, se, ln = _native.scan_reads(data)
                 gen = self._classify_cycled_native(
-                    data, ns, ne, ss, se, ln, paired=paired, extended=extended
+                    data, ns, ne, ss, se, ln, paired=paired,
+                    extended=extended, hit_stats=hit_stats,
                 )
                 return gen, len(ln)
             # n_reads from an exact substring-count (parity-tested against
@@ -498,11 +551,17 @@ class Classifier:
             n_reads = _native.quick_count(data)
             scan = _ScanStream(data, self.plan.scan_chunk_bytes)
             gen = self._classify_native(
-                data, scan, paired=paired, extended=extended
+                data, scan, paired=paired, extended=extended,
+                hit_stats=hit_stats,
             )
             return gen, n_reads
         rs = parse_reads(data)
-        return self._classify_readset(rs, paired=paired, extended=extended), rs.n_reads
+        return (
+            self._classify_readset(
+                rs, paired=paired, extended=extended, hit_stats=hit_stats
+            ),
+            rs.n_reads,
+        )
 
     def classify_file(
         self,
@@ -556,6 +615,7 @@ class Classifier:
             scanned = self._pipelined(slabs, lambda s: (s, None), depth=1)
         else:
             scanned = ((s, None) for s in slabs) if first is not None else iter(())
+        hs = HitStats(self.n_targets) if extended else None
         with open(out, "wb") as f:
             f.write(self._header(extended))
             for slab, scn in scanned:
@@ -563,18 +623,19 @@ class Classifier:
                     is_fa, ns, ne, ss, se, ln = scn
                     gen = self._classify_cycled_native(
                         slab, ns, ne, ss, se, ln,
-                        paired=paired, extended=extended,
+                        paired=paired, extended=extended, hit_stats=hs,
                     )
                     nr = len(ln)
                 elif use_native:
                     scan = _ScanStream(slab, self.plan.scan_chunk_bytes)
                     gen = self._classify_native(
-                        slab, scan, paired=paired, extended=extended
+                        slab, scan, paired=paired, extended=extended,
+                        hit_stats=hs,
                     )
                     nr = None
                 else:
                     gen, nr = self.classify_bytes(
-                        slab, paired=paired, extended=extended
+                        slab, paired=paired, extended=extended, hit_stats=hs
                     )
                 for chunk in gen:
                     f.write(chunk)
@@ -586,6 +647,14 @@ class Classifier:
             "reads_per_min": int(n_reads / dt * 60.0) if dt > 0 else 0,
             "result": out,
         }
+        if extended:
+            stats["hit_stats"] = hs
+        if extended and verbose:
+            # per-run distinct-targets-hit distribution, as the reference
+            # prints after its extended writer (CuCLARK_hh.hh:2064-2067)
+            import sys
+
+            print(hs.report(), file=sys.stderr)
         if verbose:
             print(
                 f"Done in {dt:.1f}s ({stats['reads_per_min']} reads/min, "
@@ -779,16 +848,26 @@ class Classifier:
         cols += ["Gamma", "Assignment", "Score", "Confidence"]
         return (",".join(cols) + "\n").encode()
 
-    def _classify_readset(self, rs: ReadSet, paired: bool, extended: bool):
+    def _classify_readset(
+        self, rs: ReadSet, paired: bool, extended: bool, hit_stats=None
+    ):
         if self.packed and self.db_cycles > 1:
-            yield from self._classify_cycled_rs(rs, paired, extended)
+            yield from self._classify_cycled_rs(
+                rs, paired, extended, hit_stats=hit_stats
+            )
         elif self.packed:
-            yield from self._classify_packed(rs, paired, extended)
+            yield from self._classify_packed(
+                rs, paired, extended, hit_stats=hit_stats
+            )
         else:
-            yield from self._classify_flat(rs, paired, extended)
+            yield from self._classify_flat(
+                rs, paired, extended, hit_stats=hit_stats
+            )
 
     # --------------------------------------------------- out-of-core cycling
-    def _classify_cycled_rs(self, rs: ReadSet, paired: bool, extended: bool):
+    def _classify_cycled_rs(
+        self, rs: ReadSet, paired: bool, extended: bool, hit_stats=None
+    ):
         lengths = rs.read_lengths
         names = [rs.name(i) for i in range(rs.n_reads)]
 
@@ -807,7 +886,9 @@ class Classifier:
                 )
             return b"".join(out)
 
-        yield from self._cycled_core(lengths, paired, extended, packer, formatter)
+        yield from self._cycled_core(
+            lengths, paired, extended, packer, formatter, hit_stats=hit_stats
+        )
 
     def _cycled_prepare(self, lengths, packer):
         """Plan + pack one input's batches for out-of-core passes; returns
@@ -856,7 +937,9 @@ class Classifier:
             else "counts"
         )
 
-    def _cycled_core(self, lengths, paired, extended, packer, formatter):
+    def _cycled_core(
+        self, lengths, paired, extended, packer, formatter, hit_stats=None
+    ):
         """Cycle-outer / batch-inner out-of-core classification: each table
         chunk/cycle is uploaded once per file, every batch is probed against
         it, per-read counts accumulate host-side (the reference's
@@ -876,7 +959,8 @@ class Classifier:
             self._cycled_accumulate(pass_fn, packed_batches, acc, strategy)
             end_pass()
         yield from self._cycled_finish(
-            specs, acc, strategy, lengths, paired, extended, formatter
+            specs, acc, strategy, lengths, paired, extended, formatter,
+            hit_stats=hit_stats,
         )
 
     def _cycle_passes(self, strategy):
@@ -946,7 +1030,8 @@ class Classifier:
                 acc[bi] += c
 
     def _cycled_finish(
-        self, specs, acc, strategy, lengths, paired, extended, formatter
+        self, specs, acc, strategy, lengths, paired, extended, formatter,
+        hit_stats=None,
     ):
         """Score accumulated per-batch results, scatter to file order, and
         yield formatted CSV chunks."""
@@ -998,6 +1083,8 @@ class Classifier:
                 sb_g[idx] = sb
                 if extended:
                     cnt_g[idx] = counts[:nb]
+        if hit_stats is not None and extended:
+            hit_stats.update_counts(cnt_g)
         CH = 1 << 16
         for r0 in range(0, n_reads, CH):
             r1 = min(r0 + CH, n_reads)
@@ -1007,7 +1094,9 @@ class Classifier:
             )
 
     # ---------------------------------------------------- native host path
-    def _classify_native(self, data, scan: _ScanStream, paired, extended):
+    def _classify_native(
+        self, data, scan: _ScanStream, paired, extended, hit_stats=None
+    ):
         """Host side fully in C++ (scan/pack/format); device step unchanged.
 
         Length-bucketed: reads of each planning window are grouped by stride
@@ -1018,7 +1107,7 @@ class Classifier:
 
         if not self.plan.sort_batches:
             yield from self._classify_native_fileorder(
-                data, scan, paired, extended
+                data, scan, paired, extended, hit_stats=hit_stats
             )
             return
 
@@ -1113,6 +1202,11 @@ class Classifier:
             for meta, arrs_f in got_group:
                 if meta[0] == "d":
                     _, (ns, ne, ln), nb = meta
+                    if hit_stats is not None and extended:
+                        if ext_runs:
+                            hit_stats.update_runs(arrs_f[4])
+                        else:
+                            hit_stats.update_counts(arrs_f[4])
                     with maybe_phase("format"):
                         yield _native.format_rows(
                             data, ns, ne, arrs_f[0], arrs_f[1], arrs_f[2],
@@ -1162,9 +1256,16 @@ class Classifier:
                 st["remaining"] -= 1
                 if st["remaining"] == 0:
                     del acc[wid]
+                    if hit_stats is not None and extended:
+                        if ext_runs:
+                            hit_stats.update_runs(st["runs"])
+                        else:
+                            hit_stats.update_counts(st["counts"])
                     yield fmt_window(arrs, st)
 
-    def _classify_native_fileorder(self, data, scan: _ScanStream, paired, extended):
+    def _classify_native_fileorder(
+        self, data, scan: _ScanStream, paired, extended, hit_stats=None
+    ):
         """File-order planner (sort_batches=False): kept for A/B measurement
         and as the reference for the byte-identity property tests.
 
@@ -1218,6 +1319,8 @@ class Classifier:
 
         def fmt(got):
             ((r0, r1), (ns, ne, ln)), total, ib, b, sb, counts_h = got
+            if hit_stats is not None and extended:
+                hit_stats.update_counts(counts_h)
             with maybe_phase("format"):
                 return _native.format_rows(
                     data, ns, ne, total, ib, b, sb, ln - nbn,
@@ -1235,7 +1338,9 @@ class Classifier:
             for got in got_group:
                 yield fmt(got)
 
-    def _classify_cycled_native(self, data, ns, ne, ss, se, lengths, paired, extended):
+    def _classify_cycled_native(
+        self, data, ns, ne, ss, se, lengths, paired, extended, hit_stats=None
+    ):
         from .utils import native as _native
 
         names_buf = self._names_buffer()
@@ -1251,7 +1356,9 @@ class Classifier:
                 n_targets=self.n_targets if counts is not None else 0,
             )
 
-        yield from self._cycled_core(lengths, paired, extended, packer, formatter)
+        yield from self._cycled_core(
+            lengths, paired, extended, packer, formatter, hit_stats=hit_stats
+        )
 
     def _names_buffer(self):
         from .utils import native as _native
@@ -1461,9 +1568,13 @@ class Classifier:
             yield w0, w1, self._window_specs(tiers[w0:w1])
             w0 = w1
 
-    def _classify_packed(self, rs: ReadSet, paired: bool, extended: bool):
+    def _classify_packed(
+        self, rs: ReadSet, paired: bool, extended: bool, hit_stats=None
+    ):
         if not self.plan.sort_batches:
-            yield from self._classify_packed_fileorder(rs, paired, extended)
+            yield from self._classify_packed_fileorder(
+                rs, paired, extended, hit_stats=hit_stats
+            )
             return
         k = self.k
         lengths = rs.read_lengths
@@ -1523,6 +1634,8 @@ class Classifier:
             st["remaining"] -= 1
             if st["remaining"] == 0:
                 del acc[wid]
+                if hit_stats is not None and extended:
+                    hit_stats.update_counts(st["counts"])
                 for i in range(w1 - w0):
                     g = w0 + i
                     yield _format_row(
@@ -1537,7 +1650,9 @@ class Classifier:
                         st["counts"][i] if extended else None,
                     )
 
-    def _classify_packed_fileorder(self, rs: ReadSet, paired: bool, extended: bool):
+    def _classify_packed_fileorder(
+        self, rs: ReadSet, paired: bool, extended: bool, hit_stats=None
+    ):
         k = self.k
         lengths = rs.read_lengths
         norm = lengths - (NBN if paired else 0)
@@ -1570,6 +1685,8 @@ class Classifier:
         for (r0, r1), (total, ib, b, sb), counts_h in self._pipelined(
             entries, fetch, depth=2
         ):
+            if hit_stats is not None and extended:
+                hit_stats.update_counts(counts_h)
             for i in range(r1 - r0):
                 g = r0 + i
                 yield _format_row(
@@ -1585,7 +1702,9 @@ class Classifier:
                 )
 
     # --------------------------------------------------------- flat pipeline
-    def _classify_flat(self, rs: ReadSet, paired: bool, extended: bool):
+    def _classify_flat(
+        self, rs: ReadSet, paired: bool, extended: bool, hit_stats=None
+    ):
         k = self.k
         starts, rid = window_starts(rs, k)
         codes = np.where(rs.codes >= 0, rs.codes, 0).astype(np.int8)
@@ -1626,6 +1745,8 @@ class Classifier:
             )
             total, ib, b, sb = (a[:nb] for a in fetched[:4])
             counts_h = fetched[4][:nb] if extended else None
+            if hit_stats is not None and extended:
+                hit_stats.update_counts(counts_h)
 
             for i in range(nb):
                 g = r0 + i

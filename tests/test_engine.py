@@ -184,3 +184,47 @@ def test_classify_file_verbose(setup, tmp_path, capsys):
     assert stats["reads"] == 5
     out = capsys.readouterr().out
     assert "5 reads)" in out and "Done in" in out
+
+
+def test_hit_stats_report(setup, tmp_path, capsys):
+    """MIN/MAX/AVG distinct-targets-hit stderr report
+    (CuCLARK_hh.hh:1979-1980, 2053-2067): accumulated values must match a
+    CSV-derived oracle and the reference's exact line format, on both the
+    streamed and the out-of-core engines."""
+    from jn_cuclark_tpu.engine import HitStats
+
+    dbdir, tpath, prof, targets, genomes, reads = setup
+    fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
+    obj = tmp_path / "hs_reads.fa"
+    obj.write_bytes(fa)
+
+    def expect(csv_path):
+        distinct = []
+        with open(csv_path) as f:
+            next(f)
+            for ln in f:
+                cells = ln.strip().split(",")[1 : 1 + targets.n_targets]
+                distinct.append(sum(int(c) > 0 for c in cells))
+        mn = min([targets.n_targets] + distinct) if distinct else 0
+        mx = max(distinct, default=0)
+        avg = np.float32(sum(distinct)) / np.float32(len(distinct))
+        return (
+            f"MIN targets: {min(targets.n_targets, mn)}, "
+            f"MAX targets: {mx}, AVG targets: {'%g' % avg}"
+        )
+
+    for cycles in (1, 3):
+        clf = Classifier.load(
+            str(dbdir), targets, prof, K, db_cycles=cycles
+        )
+        stats = clf.classify_file(
+            str(obj), str(tmp_path / f"hs_res{cycles}"), extended=True,
+            verbose=True,
+        )
+        hs = stats["hit_stats"]
+        assert isinstance(hs, HitStats)
+        want = expect(tmp_path / f"hs_res{cycles}.csv")
+        assert hs.report() == want, cycles
+        assert f"MIN targets: {hs.min}, MAX targets: {hs.max}" in want
+        captured = capsys.readouterr()
+        assert want in captured.err
