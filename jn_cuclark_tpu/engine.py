@@ -965,7 +965,14 @@ class Classifier:
 
     def _cycle_passes(self, strategy):
         """(n_passes, begin_pass(j) -> batch_fn, end_pass) over the table's
-        cycles, from either the mesh-sharded table or host chunking."""
+        cycles, from either the mesh-sharded table or host chunking.
+
+        Chunk j+1's host->device upload starts in a worker thread while
+        chunk j's batches probe (the reference's swapDbParts overlaps its
+        uploads with the host-row merge the same way,
+        CuClarkDB.cu:776-815) — at the cost of two resident chunks, which
+        auto_db_cycles budgets for.  CLARK_TPU_PREFETCH_CHUNKS=0 disables
+        (A/B hook)."""
         sharded = getattr(self, "sharded", None)
         if sharded is not None:
             n_passes = sharded.n_cycles
@@ -985,12 +992,43 @@ class Classifier:
         n_passes = len(self.table_chunks)
         narrow = self.n_targets < 65535
 
-        def begin_pass(j):
+        def upload(j):
             chunk = self.table_chunks[j]
             slots = jnp.asarray(chunk["slots"])
             lab = jnp.asarray(chunk["labels"])
-            start = jnp.int32(chunk["start_row"])
-            use_stash = jnp.bool_(chunk["use_stash"])
+            jax.block_until_ready(slots)
+            return (
+                slots, lab, jnp.int32(chunk["start_row"]),
+                jnp.bool_(chunk["use_stash"]),
+            )
+
+        prefetch = (
+            n_passes > 1
+            and os.environ.get("CLARK_TPU_PREFETCH_CHUNKS", "1") != "0"
+        )
+        pre: dict = {"j": None, "thread": None, "out": None}
+
+        def begin_pass(j):
+            if pre["thread"] is not None and pre["j"] == j:
+                pre["thread"].join()
+                status, arrs = pre["out"]
+                pre["thread"] = None
+                if status == "err":
+                    raise arrs
+            else:
+                with maybe_phase("chunk_upload"):
+                    arrs = upload(j)
+            if prefetch and j + 1 < n_passes:
+                def work(nj=j + 1):
+                    try:
+                        pre["out"] = ("ok", upload(nj))
+                    except BaseException as e:  # re-raised at next join
+                        pre["out"] = ("err", e)
+
+                pre["j"] = j + 1
+                pre["thread"] = threading.Thread(target=work, daemon=True)
+                pre["thread"].start()
+            slots, lab, start, use_stash = arrs
 
             if strategy == "labels":
                 def fn(words, vwords):

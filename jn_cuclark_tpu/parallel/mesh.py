@@ -313,14 +313,50 @@ class ShardedRadixTable:
         self._fns[kind] = jfn
         return jfn
 
+    def _upload_cycle(self, j: int):
+        slots, labels = self._cycle_global(j)
+        cyc = self._replicated(jnp.int32(j))
+        jax.block_until_ready(slots)
+        return (j, slots, labels, cyc)
+
     def begin_cycle(self, j: int, kind: str = "counts"):
         """Upload cycle j's row chunks; returns fn(words, vwords) producing
         per-read counts (kind="counts") or the merged per-window label grid
-        (kind="labels")."""
-        if self._cur is None or self._cur[0] != j:
-            slots, labels = self._cycle_global(j)
-            cyc = self._replicated(jnp.int32(j))
-            self._cur = (j, slots, labels, cyc)
+        (kind="labels").
+
+        Cycle j+1's chunks upload in a worker thread while cycle j's
+        batches probe (swapDbParts overlap, CuClarkDB.cu:776-815); two
+        chunks are resident at the overlap peak, which auto_db_cycles
+        budgets for.  CLARK_TPU_PREFETCH_CHUNKS=0 disables."""
+        import os
+        import threading
+
+        pre = getattr(self, "_pre", None)
+        if pre is not None and pre["j"] == j:
+            pre["thread"].join()
+            status, payload = pre["out"]
+            self._pre = None
+            if status == "err":
+                raise payload
+            self._cur = payload
+        elif self._cur is None or self._cur[0] != j:
+            self._cur = self._upload_cycle(j)
+        if (
+            j + 1 < self.n_cycles
+            and getattr(self, "_pre", None) is None
+            and os.environ.get("CLARK_TPU_PREFETCH_CHUNKS", "1") != "0"
+        ):
+            pre = {"j": j + 1, "out": None}
+
+            def work(nj=j + 1):
+                try:
+                    pre["out"] = ("ok", self._upload_cycle(nj))
+                except BaseException as e:  # re-raised at next join
+                    pre["out"] = ("err", e)
+
+            pre["thread"] = threading.Thread(target=work, daemon=True)
+            pre["thread"].start()
+            self._pre = pre
 
         def pass_fn(words, vwords):
             _, slots, labels, cyc = self._cur

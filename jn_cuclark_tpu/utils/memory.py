@@ -104,4 +104,9 @@ def auto_db_cycles(
         )
     per_shard = -(-table_bytes // max(n_shards, 1))
     cycles = max(-(-per_shard // budget), 1)
+    if cycles > 1 and os.environ.get("CLARK_TPU_PREFETCH_CHUNKS", "1") != "0":
+        # double-buffered chunk uploads (engine._cycle_passes /
+        # ShardedRadixTable.begin_cycle) keep TWO chunks resident at the
+        # overlap peak, so each chunk must fit half the budget
+        cycles = max(-(-per_shard // (budget // 2)), 2)
     return cycles, budget

@@ -27,11 +27,19 @@ def test_auto_cycles_math(monkeypatch):
     budget = (16 << 30) - memory.RESERVED - trans
     # table smaller than budget -> one cycle
     assert memory.auto_db_cycles(budget - 1, 1 << 23, 128) == (1, budget)
-    # 2.5x budget -> 3 cycles
+    # 2.5x budget -> cycling engages; double-buffered uploads keep two
+    # chunks resident, so each chunk fits half the budget -> 5 cycles
+    cycles, b = memory.auto_db_cycles(
+        int(budget * 2.5), 1 << 23, 128
+    )
+    assert cycles == 5 and b == budget
+    # with prefetch disabled one chunk is resident -> 3 cycles
+    monkeypatch.setenv("CLARK_TPU_PREFETCH_CHUNKS", "0")
     cycles, b = memory.auto_db_cycles(
         int(budget * 2.5), 1 << 23, 128
     )
     assert cycles == 3 and b == budget
+    monkeypatch.delenv("CLARK_TPU_PREFETCH_CHUNKS")
     # sharding divides the per-device need
     cycles, _ = memory.auto_db_cycles(
         int(budget * 2.5), 1 << 23, 128, n_shards=4
@@ -111,3 +119,29 @@ def test_explicit_cycles_still_win(db, monkeypatch):
         str(tmp_path), targets, prof, K, plan=plan, db_cycles=2
     )
     assert clf.db_cycles == 2
+
+
+def test_chunk_prefetch_byte_equal(db, monkeypatch):
+    """Double-buffered chunk uploads (worker-thread device_put of chunk
+    j+1 during pass j, swapDbParts-overlap parity CuClarkDB.cu:776-815)
+    must not change output: cycled CSVs byte-equal with prefetch on/off,
+    on the host-chunked AND the mesh-sharded cycled paths."""
+    from jn_cuclark_tpu.parallel.mesh import make_mesh
+
+    tmp_path, prof, targets, fa = db
+    plan = BatchPlan(max_reads=64, window_budget=1 << 13)
+    outs = {}
+    for pf in ("1", "0"):
+        monkeypatch.setenv("CLARK_TPU_PREFETCH_CHUNKS", pf)
+        clf = Classifier.load(
+            str(tmp_path), targets, prof, K, plan=plan, db_cycles=3
+        )
+        outs[("host", pf)] = b"".join(clf.classify_bytes(fa)[0])
+        sh = Classifier.load(
+            str(tmp_path), targets, prof, K, plan=plan, db_cycles=3,
+            mesh=make_mesh(4), mesh_mode="db",
+        )
+        outs[("mesh", pf)] = b"".join(sh.classify_bytes(fa)[0])
+    assert outs[("host", "1")] == outs[("host", "0")]
+    assert outs[("mesh", "1")] == outs[("mesh", "0")]
+    assert outs[("host", "1")] == outs[("mesh", "1")]
