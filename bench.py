@@ -109,52 +109,72 @@ def _sim_reads(rng, genomes, n_reads, lens, junk_frac=0.0, prefix="r"):
     return "".join(out).encode()
 
 
+_CANARY_SCRIPT = r"""
+import json, os, time
+import numpy as np
+import jax
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+out = {}
+d = jax.devices()[0]
+out["device"] = str(d)
+x = np.random.default_rng(0).integers(0, 2**31, size=(1 << 24,), dtype=np.int32)
+t0 = time.time()
+xd = jax.device_put(x, d)
+xd.block_until_ready()
+out["h2d_64mb_s"] = round(time.time() - t0, 3)
+print(json.dumps(out), flush=True)
+# pure RPC round trip, no compile: tiny put + fetch (classification
+# throughput gates on this fetch path, not on H2D)
+tiny = jax.device_put(np.zeros(8, np.int32), d)
+tiny.block_until_ready()
+t0 = time.time()
+jax.device_get(tiny)
+out["scalar_rt_s"] = round(time.time() - t0, 4)
+print(json.dumps(out), flush=True)
+# fetch bandwidth: 16 MB device->host
+t0 = time.time()
+np.asarray(jax.device_get(jax.device_put(x[: 1 << 22], d)))
+out["d2h_16mb_s"] = round(time.time() - t0, 3)
+print(json.dumps(out), flush=True)
+idx = np.random.default_rng(1).integers(0, 1 << 24, size=(1 << 22,), dtype=np.int32)
+idxd = jax.device_put(idx, d)
+g = jax.jit(lambda a, i: a[i])
+jax.device_get(g(xd, idxd))  # compile + fetch once
+t0 = time.time()
+jax.device_get(g(xd, idxd))
+out["gather_4m_fetch_s"] = round(time.time() - t0, 4)
+print(json.dumps(out), flush=True)
+"""
+
+
 def _tunnel_canary(budget_s: float = 180.0):
-    """Fixed-size device round trips measured BEFORE the benchmark configs,
-    so a bad recorded headline is attributable: when these numbers are off
-    their attached-hardware scale (H2D multi-GB/s, gather ~ms, RT ~sub-ms)
-    the run went through a degraded tunnel and the configs are hostage to
-    it; when they are nominal, a regression is the code's.  Runs in a
-    daemon thread with a wall cap — a hung tunnel records as 'timeout'
-    instead of hanging the bench."""
-    import threading
+    """Fixed-size device round trips measured BEFORE/AFTER the benchmark
+    configs, so a bad recorded headline is attributable: when these are off
+    their attached-hardware scale (H2D/D2H multi-GB/s, RT sub-ms) the run
+    went through a degraded tunnel and the configs are hostage to it; when
+    they are nominal, a regression is the code's.  Runs in a SUBPROCESS
+    with a wall cap (a hung RPC can only be abandoned by killing the
+    process); each completed measurement is streamed out, so a timeout
+    still records everything measured before the hang."""
+    import subprocess
+    import sys
 
-    out = {}
-
-    def run():
-        import jax
-        import jax.numpy as jnp
-
-        d = jax.devices()[0]
-        out["device"] = str(d)
-        x = np.random.default_rng(0).integers(
-            0, 2**31, size=(1 << 24,), dtype=np.int32
-        )  # 64 MB
-        t0 = time.time()
-        xd = jax.device_put(x, d)
-        xd.block_until_ready()
-        out["h2d_64mb_s"] = round(time.time() - t0, 3)
-        idx = np.random.default_rng(1).integers(
-            0, 1 << 24, size=(1 << 22,), dtype=np.int32
-        )
-        idxd = jax.device_put(idx, d)
-        idxd.block_until_ready()
-        g = jax.jit(lambda a, i: a[i])
-        g(xd, idxd).block_until_ready()  # compile
-        t0 = time.time()
-        g(xd, idxd).block_until_ready()
-        out["gather_4m_s"] = round(time.time() - t0, 4)
-        t0 = time.time()
-        float(jnp.sum(xd[:8]))
-        out["scalar_rt_s"] = round(time.time() - t0, 4)
-
-    t = threading.Thread(target=run, daemon=True)
     t0 = time.time()
-    t.start()
-    t.join(budget_s)
-    out["wall_s"] = round(time.time() - t0, 2)
-    if t.is_alive():
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _CANARY_SCRIPT],
+            capture_output=True, text=True, timeout=budget_s,
+        )
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        out = json.loads(lines[-1]) if lines else {"error": r.stderr[-300:]}
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode(errors="replace")
+        lines = [l for l in stdout.splitlines() if l.startswith("{")]
+        out = json.loads(lines[-1]) if lines else {}
         out["timeout"] = True
+    out["wall_s"] = round(time.time() - t0, 2)
     return out
 
 

@@ -356,8 +356,11 @@ def _cmd_classify(args):
                 )
             for (obj, _m, _r), stats in zip(pairs, stats_list):
                 total_reads += stats["reads"]
+                # cycle-outer batches interleave samples inside each table
+                # pass: seconds/rate are the whole batch's, flagged as such
+                agg = " [whole batch]" if stats.get("aggregate") else ""
                 print(
-                    f"{obj}: done in {stats['seconds']:.1f}s "
+                    f"{obj}: done in {stats['seconds']:.1f}s{agg} "
                     f"({stats['reads_per_min']} reads/min, "
                     f"{stats['reads']} reads) -> {stats['result']}",
                     file=sys.stderr,

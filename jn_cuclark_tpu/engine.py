@@ -822,21 +822,22 @@ class Classifier:
                     f.write(chunk)
             outs.append(out)
         # samples interleave inside each table-chunk pass, so per-sample
-        # wall time is not separable: attribute the run's time to each
-        # sample proportional to its read count (the aggregate rate)
+        # wall time is NOT separable; report the shared run wall and the
+        # aggregate rate on every sample, flagged as aggregate (prorated
+        # per-sample "seconds" would present an estimate as a measurement)
         dt = time.time() - t0
         n_total = sum(len(s["lengths"]) for s in samples) or 1
         stats = []
         for s, out in zip(samples, outs):
-            frac = len(s["lengths"]) / n_total
             stats.append(
                 {
                     "reads": len(s["lengths"]),
-                    "seconds": dt * frac,
+                    "seconds": dt,
                     "reads_per_min": (
                         int(n_total / dt * 60.0) if dt > 0 else 0
                     ),
                     "result": out,
+                    "aggregate": True,  # seconds/rate are the whole batch's
                 }
             )
         return stats

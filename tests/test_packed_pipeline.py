@@ -213,3 +213,40 @@ def test_cycled_multisample_equals_serial(setup, tmp_path, use_native):
             open(r + ".csv", "rb").read()
             == open(str(tmp_path / f"ref{s}") + ".csv", "rb").read()
         ), s
+
+
+def test_cycle_outer_cap_fallback(setup, tmp_path, monkeypatch, capsys):
+    """The CLARK_TPU_CYCLE_OUTER_MAX_BYTES cap: above it classify_files
+    must fall back to serial slab streaming (same CSVs, message printed);
+    below it the cycle-outer path runs and flags its stats as aggregate."""
+    import numpy as np
+
+    from .test_builder import rand_seq
+
+    tmp_path2, prof, targets, fa = setup
+    rng = np.random.default_rng(21)
+    items = []
+    for s in range(2):
+        p = tmp_path / f"c{s}.fa"
+        with open(p, "w") as f:
+            for i in range(30):
+                f.write(f">c{s}_r{i}\n{rand_seq(rng, 100)}\n")
+        items.append((str(p), None, str(tmp_path / f"capres{s}")))
+    plan = BatchPlan(max_reads=64, window_budget=1 << 13)
+    clf = Classifier.load(
+        str(tmp_path2), targets, prof, K, plan=plan, db_cycles=3
+    )
+    # under the cap: cycle-outer runs; stats are the shared batch wall
+    monkeypatch.setenv("CLARK_TPU_CYCLE_OUTER_MAX_BYTES", str(1 << 30))
+    st = clf.classify_files(items, jobs=4)
+    assert all(s.get("aggregate") for s in st)
+    assert len({s["seconds"] for s in st}) == 1  # shared wall, not prorated
+    outs = [open(r + ".csv", "rb").read() for _, _, r in items]
+    # over the cap: serial slab-streamed fallback, message, same bytes
+    monkeypatch.setenv("CLARK_TPU_CYCLE_OUTER_MAX_BYTES", "10")
+    items2 = [(o, p, r + "_f") for o, p, r in items]
+    st2 = clf.classify_files(items2, jobs=4)
+    assert not any(s.get("aggregate") for s in st2)
+    assert "cycle-outer scheduling skipped" in capsys.readouterr().err
+    for (o, _p, r), want in zip(items2, outs):
+        assert open(r + ".csv", "rb").read() == want
