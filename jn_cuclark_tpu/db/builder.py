@@ -316,6 +316,36 @@ def build_database(
         file_lids.append(lidx[lbl])
         occ_v.append(occ.counts)  # None => unit counts
         all_unit_counts = all_unit_counts and occ.counts is None
+    # the reference's light build never writes .ht files regardless of --tsk
+    # (makeSpecificTargetSets light branch has no Save* calls)
+    tsk = tsk and not profile.light
+    lelement = not tsk  # --tsk builds use the 32-bit Element counter
+
+    total_occ = sum(len(c) for c in occ_c)
+    part_min = int(os.environ.get("CLARK_TPU_BUILD_PART_MIN", str(1 << 25)))
+    if (
+        use_native
+        and not device
+        and all_unit_counts
+        and not tsk
+        and native.has_partitioned_build()
+        and total_occ >= part_min
+    ):
+        # bounded-memory partitioned build (reference parity: the chained
+        # hash table also builds in bounded memory, hashTable_hh.hh:239-269):
+        # occurrences scatter into ONE 16-byte-per-entry buffer bucketed by
+        # canonical range; each partition sorts/aggregates/filters
+        # independently, so sort temps and n-sized temporaries never
+        # coexist at full scale.  Output identical to the one-shot path.
+        spec_c, spec_l, n_mother = _build_partitioned(
+            occ_c, file_lids, targets, k, min_count_target, lelement
+        )
+        stem = os.path.join(
+            folder, profile.db_stem(k, targets.n_targets, min_count_target, gap)
+        )
+        dbformat.write_db(stem, profile, k, spec_c, spec_l)
+        return BuiltDB(canonical=spec_c, labels=spec_l, n_mother=n_mother)
+
     canon_all = np.concatenate(occ_c) if occ_c else np.zeros(0, np.uint64)
     # one int32 repeat instead of per-file full() arrays + a concat (+ an
     # int64->int32 convert in the native wrapper): ~10x less label traffic
@@ -324,11 +354,6 @@ def build_database(
         np.asarray(file_lids, np.int32),
         np.asarray([len(c) for c in occ_c], np.int64),
     ) if occ_c else np.zeros(0, np.int32)
-
-    # the reference's light build never writes .ht files regardless of --tsk
-    # (makeSpecificTargetSets light branch has no Save* calls)
-    tsk = tsk and not profile.light
-    lelement = not tsk  # --tsk builds use the 32-bit Element counter
     if (use_native or device) and all_unit_counts and not tsk:
         all_labels = targets.labels + targets.labels_c
         pgid_map: dict[tuple[int, str], int] = {}
@@ -381,6 +406,68 @@ def build_database(
     )
     dbformat.write_db(stem, profile, k, spec_c, spec_l)
     return BuiltDB(canonical=spec_c, labels=spec_l, n_mother=len(canon))
+
+
+def _build_partitioned(occ_c, file_lids, targets, k, min_count, lelement):
+    """Bounded-memory aggregate + discriminativity filter over canonical-
+    range partitions (global output order — canonical ascending — is
+    preserved because partitions are contiguous canonical ranges).
+
+    Frees each file's occurrence array right after its scatter; peak host
+    memory is the 16-byte-per-occurrence KV buffer plus one partition's
+    sort temp, instead of the one-shot path's full-size kv + parallel-sort
+    temp + five n-sized output arrays."""
+    from ..utils import native
+
+    all_labels = targets.labels + targets.labels_c
+    pgid_map: dict[tuple[int, str], int] = {}
+    pg = np.zeros(max(len(all_labels), 1), dtype=np.int32)
+    for i, lbl in enumerate(all_labels):
+        pg[i] = pgid_map.setdefault((len(lbl), lbl[:-1]), len(pgid_map))
+    total = sum(len(c) for c in occ_c)
+    # ~16M-entry (256 MB) average partitions, capped at 512 partitions
+    pbits = int(np.ceil(np.log2(max(total / (1 << 24), 2))))
+    key_bits = 2 * k if k < 32 else 64
+    pbits = max(min(pbits, 9, key_bits - 1), 1)
+    shift = key_bits - pbits
+    P = 1 << pbits
+    counts = np.zeros(P, np.int64)
+    for c in occ_c:
+        native.occ_partition_count(c, shift, counts)
+    offs = np.zeros(P + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    kv = np.empty(total, native.KV_DTYPE)
+    cursors = offs[:-1].copy()
+    base = 0
+    for i in range(len(occ_c)):
+        c = occ_c[i]
+        native.occ_partition_scatter(
+            c, int(file_lids[i]), base, shift, cursors, kv
+        )
+        base += len(c)
+        occ_c[i] = None  # free each file's occurrences after scatter
+    spec_c_parts: list[np.ndarray] = []
+    spec_l_parts: list[np.ndarray] = []
+    n_mother = 0
+    for p in range(P):
+        n_p = int(counts[p])
+        if n_p == 0:
+            continue
+        cp, l0p, mp, ctp, _ = native.aggregate_kv_range(
+            kv, int(offs[p]), n_p, pg, lelement
+        )
+        n_mother += len(cp)
+        sc, sl = remove_common(cp, l0p, mp, ctp, targets, min_count)
+        spec_c_parts.append(sc)
+        spec_l_parts.append(sl)
+    del kv
+    if not spec_c_parts:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint16), n_mother
+    return (
+        np.concatenate(spec_c_parts),
+        np.concatenate(spec_l_parts),
+        n_mother,
+    )
 
 
 def _write_tsk_files(

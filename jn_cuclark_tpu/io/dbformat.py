@@ -50,11 +50,25 @@ def write_db(
     if 2 * k + 1 <= 64 and native.available() and native.has_serialize_db():
         # fused native path: quotient/remainder + parallel (key, label)
         # sort + sequential .sz emit in one call — ~2.5x the numpy chain
-        # below at 250M keys, byte-identical output
-        try:
-            sizes, ky, lb = native.serialize_db(
-                canonical, labels, profile.htsize, rem_bits, key_dtype
+        # below at 250M keys, byte-identical output.  Large tables use the
+        # remainder-partitioned variant so the stable sort's temp is one
+        # partition instead of a full-table copy (bounded host memory).
+        n = len(canonical)
+        pbits = 0
+        if n >= (1 << 24) and native.has_partitioned_build():
+            pbits = min(
+                int(np.ceil(np.log2(max(n / (1 << 23), 2)))), 8
             )
+        try:
+            if pbits > 0:
+                sizes, ky, lb = native.serialize_db_parts(
+                    canonical, labels, profile.htsize, rem_bits, key_dtype,
+                    pbits,
+                )
+            else:
+                sizes, ky, lb = native.serialize_db(
+                    canonical, labels, profile.htsize, rem_bits, key_dtype
+                )
         except native.BucketOverflowError:
             raise DBFormatError(
                 "bucket list size exceeds 255; use a larger hash-table size"

@@ -377,6 +377,26 @@ def _ensure_build_sigs(lib):
             _U64P, _U16P, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
             ctypes.c_int32, _U8P, _U8P, _U16P,
         ]
+    if hasattr(lib, "serialize_db_parts"):
+        lib.serialize_db_parts.restype = ctypes.c_int32
+        lib.serialize_db_parts.argtypes = [
+            _U64P, _U16P, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, _U8P, _U8P, _U16P,
+        ]
+        lib.occ_partition_count.restype = None
+        lib.occ_partition_count.argtypes = [
+            _U64P, ctypes.c_int64, ctypes.c_int32, _I64P,
+        ]
+        lib.occ_partition_scatter.restype = None
+        lib.occ_partition_scatter.argtypes = [
+            _U64P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, _I64P, ctypes.c_void_p,
+        ]
+        lib.aggregate_kv_range.restype = ctypes.c_int64
+        lib.aggregate_kv_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, _I32P, ctypes.c_int32,
+            _U64P, _I32P, _I32P, _I64P, _I64P,
+        ]
     lib._build_sigs = True
 
 
@@ -447,6 +467,80 @@ def serialize_db(canon, labels, htsize: int, rem_bits: int, key_dtype):
     if rc != 0:
         raise BucketOverflowError("bucket list size exceeds 255")
     return sizes, keys[:n], labs[:n]
+
+
+def has_partitioned_build() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "serialize_db_parts")
+
+
+def serialize_db_parts(canon, labels, htsize: int, rem_bits: int, key_dtype,
+                       pbits: int):
+    """serialize_db with remainder-range partitioning: the stable sort's
+    temp is one partition, bounding host memory at RefSeq scale.  Output
+    byte-identical to serialize_db."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    canon = np.ascontiguousarray(canon, np.uint64)
+    labels = np.ascontiguousarray(labels, np.uint16)
+    n = len(canon)
+    sizes = np.zeros(htsize, np.uint8)
+    keys = np.empty(max(n, 1), key_dtype)
+    labs = np.empty(max(n, 1), np.uint16)
+    rc = lib.serialize_db_parts(
+        _p(canon, _U64P), _p(labels, _U16P), n, htsize, rem_bits,
+        np.dtype(key_dtype).itemsize, pbits, _p(sizes, _U8P),
+        keys.ctypes.data_as(_U8P), _p(labs, _U16P),
+    )
+    if rc != 0:
+        raise BucketOverflowError("bucket list size exceeds 255")
+    return sizes, keys[:n], labs[:n]
+
+
+KV_DTYPE = np.dtype([("k", "<u8"), ("v", "<i8")])  # native KV struct layout
+
+
+def occ_partition_count(canon, shift: int, counts):
+    """Accumulate per-partition occurrence counts (pid = canon >> shift)."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    canon = np.ascontiguousarray(canon, np.uint64)
+    lib.occ_partition_count(
+        _p(canon, _U64P), len(canon), shift, _p(counts, _I64P)
+    )
+
+
+def occ_partition_scatter(canon, label: int, base_index: int, shift: int,
+                          cursors, kv_buf):
+    """Scatter one file's occurrences (constant label) into the KV
+    partition buffer; cursors advance in place."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    canon = np.ascontiguousarray(canon, np.uint64)
+    lib.occ_partition_scatter(
+        _p(canon, _U64P), len(canon), label, base_index, shift,
+        _p(cursors, _I64P), kv_buf.ctypes.data,
+    )
+
+
+def aggregate_kv_range(kv_buf, start: int, n: int, pg, lelement: bool):
+    """Sort + aggregate one partition [start, start+n) of the KV buffer in
+    place; returns (canon, L0, mult, count, first_seq) for that range."""
+    lib = _load()
+    _ensure_build_sigs(lib)
+    pg = np.ascontiguousarray(pg, np.int32)
+    oc = np.empty(max(n, 1), np.uint64)
+    ol = np.empty(max(n, 1), np.int32)
+    om = np.empty(max(n, 1), np.int32)
+    on = np.empty(max(n, 1), np.int64)
+    of = np.empty(max(n, 1), np.int64)
+    ng = lib.aggregate_kv_range(
+        kv_buf.ctypes.data + start * KV_DTYPE.itemsize, n, _p(pg, _I32P),
+        1 if lelement else 0,
+        _p(oc, _U64P), _p(ol, _I32P), _p(om, _I32P), _p(on, _I64P),
+        _p(of, _I64P),
+    )
+    return oc[:ng].copy(), ol[:ng].copy(), om[:ng].copy(), on[:ng].copy(), of[:ng].copy()
 
 
 def aggregate_occurrences(canon, label, pg, lelement: bool):

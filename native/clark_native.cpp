@@ -631,28 +631,12 @@ void argsort_u64(const uint64_t* keys, int64_t n, int64_t* idx) {
 // distinct k-mers with the reference's multiplicity/count rules (counts all
 // 1, i.e. sequence inputs).  pg[label] = prefix-group id.
 // Outputs sized n (caller trims to return value).
-int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
-                              int64_t n, const int32_t* pg, int32_t lelement,
-                              uint64_t* out_canon, int32_t* out_label,
-                              int32_t* out_mult, int64_t* out_count,
-                              int64_t* out_first_seq) {
-  // sort (canonical, stream_index<<16 | label) pairs: the payload carries
-  // BOTH the label and the stream index, so the emit pass below reads kv
-  // sequentially instead of gathering canon[i]/label[i] through a
-  // permutation (the gathers were ~1/3 of the aggregate wall at 250M
-  // occurrences).  Comparing the payload on equal keys reproduces the
-  // stable stream order exactly (stream indices are distinct).  Labels
-  // must fit 16 bits (MTRGTS <= 65535, dataType.hh:46 — enforced by
-  // build_database before calling in) and indices 48.
-  std::vector<KV> kv(n);
-#ifdef _OPENMP
-#pragma omp parallel for
-#endif
-  for (int64_t i = 0; i < n; i++)
-    kv[i] = {canon[i], (i << 16) | (int64_t)(uint16_t)label[i]};
-  PSORT(kv.begin(), kv.end(), [](const KV& a, const KV& b) {
-    return a.k < b.k || (a.k == b.k && a.v < b.v);
-  });
+// Emit pass shared by the one-shot and the partitioned aggregates: kv is
+// sorted by (canonical, payload); payload = stream_index<<16 | label.
+static int64_t aggregate_emit(const KV* kv, int64_t n, const int32_t* pg,
+                              int32_t lelement, uint64_t* out_canon,
+                              int32_t* out_label, int32_t* out_mult,
+                              int64_t* out_count, int64_t* out_first_seq) {
   int64_t ng = -1;
   uint64_t cur = 0;
   int32_t l0 = 0, pg0 = 0;
@@ -682,6 +666,74 @@ int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
     }
   }
   return ng + 1;
+}
+
+int64_t aggregate_occurrences(const uint64_t* canon, const int32_t* label,
+                              int64_t n, const int32_t* pg, int32_t lelement,
+                              uint64_t* out_canon, int32_t* out_label,
+                              int32_t* out_mult, int64_t* out_count,
+                              int64_t* out_first_seq) {
+  // sort (canonical, stream_index<<16 | label) pairs: the payload carries
+  // BOTH the label and the stream index, so the emit pass reads kv
+  // sequentially instead of gathering canon[i]/label[i] through a
+  // permutation (the gathers were ~1/3 of the aggregate wall at 250M
+  // occurrences).  Comparing the payload on equal keys reproduces the
+  // stable stream order exactly (stream indices are distinct).  Labels
+  // must fit 16 bits (MTRGTS <= 65535, dataType.hh:46 — enforced by
+  // build_database before calling in) and indices 48.
+  std::vector<KV> kv(n);
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t i = 0; i < n; i++)
+    kv[i] = {canon[i], (i << 16) | (int64_t)(uint16_t)label[i]};
+  PSORT(kv.begin(), kv.end(), [](const KV& a, const KV& b) {
+    return a.k < b.k || (a.k == b.k && a.v < b.v);
+  });
+  return aggregate_emit(kv.data(), n, pg, lelement, out_canon, out_label,
+                        out_mult, out_count, out_first_seq);
+}
+
+// ----------------- bounded-memory partitioned build (host-RAM ceiling)
+//
+// The one-shot aggregate+serialize peaks tens of GB at RefSeq scale (full
+// kv vector + the parallel stable sort's full-size temp + n-sized output
+// arrays all live at once).  The partitioned flow bounds the peak: the
+// occurrence stream scatters into ONE (canon, payload) buffer bucketed by
+// canonical range (ranges keep the aggregate's global canonical-ascending
+// output order), then each partition sorts/aggregates/filters
+// independently — sort temp and output arrays are one partition's size.
+// The reference's chained hash table builds in bounded memory too
+// (hashTable_hh.hh:239-269); this is the sort-based equivalent.
+
+// Pass 1: occurrences per canonical-range partition (pid = canon >> shift).
+void occ_partition_count(const uint64_t* canon, int64_t n, int32_t shift,
+                         int64_t* counts) {
+  for (int64_t i = 0; i < n; i++) counts[canon[i] >> shift]++;
+}
+
+// Pass 2: scatter one file's occurrences (constant label) into the
+// partition buffer; cursors advance.  payload = (global index << 16) | label.
+void occ_partition_scatter(const uint64_t* canon, int64_t n, int32_t label,
+                           int64_t base_index, int32_t shift,
+                           int64_t* cursors, KV* kv) {
+  const int64_t lab = (int64_t)(uint16_t)label;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t pid = (int64_t)(canon[i] >> shift);
+    kv[cursors[pid]++] = {canon[i], ((base_index + i) << 16) | lab};
+  }
+}
+
+// Sort + aggregate ONE partition of the kv buffer in place.
+int64_t aggregate_kv_range(KV* kv, int64_t n, const int32_t* pg,
+                           int32_t lelement, uint64_t* out_canon,
+                           int32_t* out_label, int32_t* out_mult,
+                           int64_t* out_count, int64_t* out_first_seq) {
+  PSORT(kv, kv + n, [](const KV& a, const KV& b) {
+    return a.k < b.k || (a.k == b.k && a.v < b.v);
+  });
+  return aggregate_emit(kv, n, pg, lelement, out_canon, out_label,
+                        out_mult, out_count, out_first_seq);
 }
 
 // ------------------------------------------------------- abundance scan
@@ -847,6 +899,93 @@ int32_t serialize_db(const uint64_t* canon, const uint16_t* labels,
     sizes[prev_r] = (uint8_t)run;
   }
   return 0;
+}
+
+// Partitioned serialize_db: buckets are partitioned by the TOP pbits of
+// the remainder, so every bucket lives wholly inside one partition, each
+// partition's entries are contiguous in the bucket-major output, and the
+// stable sort's temp is one partition instead of the whole table (the
+// one-shot path's parallel stable sort doubles the 16-byte-per-entry
+// buffer at RefSeq scale).  Serial scatter + per-partition stable sort
+// preserve input order for equal composites, so output stays
+// byte-identical to serialize_db and the numpy path.
+int32_t serialize_db_parts(const uint64_t* canon, const uint16_t* labels,
+                           int64_t n, uint64_t htsize, int32_t rem_bits,
+                           int32_t key_bytes, int32_t pbits, uint8_t* sizes,
+                           uint8_t* out_keys, uint16_t* out_lab) {
+  if (pbits <= 0 || pbits >= rem_bits)
+    return serialize_db(canon, labels, n, htsize, rem_bits, key_bytes,
+                        sizes, out_keys, out_lab);
+  const int shift = 64 - rem_bits;
+  const int64_t P = 1ll << pbits;
+  const int pshift = rem_bits - pbits;  // partition id = remainder >> pshift
+  std::vector<int64_t> counts((size_t)P, 0);
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    std::vector<int64_t> local((size_t)P, 0);
+#pragma omp for nowait
+    for (int64_t i = 0; i < n; i++) {
+      uint64_t r = canon[i] % htsize;
+      local[r >> pshift]++;
+    }
+#pragma omp critical
+    for (int64_t p = 0; p < P; p++) counts[p] += local[p];
+  }
+#else
+  for (int64_t i = 0; i < n; i++) counts[(canon[i] % htsize) >> pshift]++;
+#endif
+  std::vector<int64_t> offs((size_t)P + 1, 0);
+  for (int64_t p = 0; p < P; p++) offs[p + 1] = offs[p] + counts[p];
+  std::vector<KL> kl((size_t)n);
+  std::vector<int64_t> cur(offs.begin(), offs.end() - 1);
+  for (int64_t i = 0; i < n; i++) {  // serial: keeps equal-key input order
+    uint64_t c = canon[i];
+    uint64_t q = c / htsize;
+    uint64_t r = c - q * htsize;
+    kl[cur[r >> pshift]++] = {(r << shift) | q, labels[i]};
+  }
+  const uint64_t qmask = ((uint64_t)1 << shift) - 1;
+  volatile int overflow = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int64_t p = 0; p < P; p++) {
+    KL* a = kl.data() + offs[p];
+    const int64_t m = counts[p];
+    std::stable_sort(a, a + m,
+                     [](const KL& x, const KL& y) { return x.k < y.k; });
+    int64_t run = 0;
+    uint64_t prev_r = 0;
+    for (int64_t i = 0; i < m; i++) {
+      uint64_t r = a[i].k >> shift;
+      if (i == 0 || r != prev_r) {
+        if (i > 0) {
+          if (run > 255) {
+            overflow = 1;
+            break;
+          }
+          sizes[prev_r] = (uint8_t)run;
+        }
+        prev_r = r;
+        run = 0;
+      }
+      run++;
+      uint64_t q = a[i].k & qmask;
+      int64_t o = offs[p] + i;
+      out_lab[o] = a[i].lab;
+      switch (key_bytes) {
+        case 2: ((uint16_t*)out_keys)[o] = (uint16_t)q; break;
+        case 4: ((uint32_t*)out_keys)[o] = (uint32_t)q; break;
+        default: ((uint64_t*)out_keys)[o] = q; break;
+      }
+    }
+    if (m > 0) {
+      if (run > 255) overflow = 1;
+      else sizes[prev_r] = (uint8_t)run;
+    }
+  }
+  return overflow ? -1 : 0;
 }
 
 // lElement::AddToCount saturation (dataType.hh:333-334): each occurrence's

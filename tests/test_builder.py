@@ -324,3 +324,64 @@ def test_too_many_targets_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="16-bit"):
         builder.build_database(targets, str(tmp_path), params.FULL, 31)
+
+
+def test_partitioned_build_byte_identical(tmp_path, monkeypatch):
+    """The bounded-memory partitioned build (canonical-range partitioned
+    aggregate + remainder-partitioned serializer) must write byte-identical
+    .sz/.ky/.lb to the one-shot native path."""
+    from jn_cuclark_tpu.utils import native
+
+    if not (native.available() and native.has_partitioned_build()):
+        pytest.skip("native partitioned build unavailable")
+    rng = np.random.default_rng(31)
+    d1, d2 = tmp_path / "oneshot", tmp_path / "parts"
+    d1.mkdir(), d2.mkdir()
+    genomes = [rand_seq(rng, 5000) for _ in range(4)]
+    shared = rand_seq(rng, 200)
+    genomes[0] += shared
+    genomes[1] += shared  # common k-mers exercise RemoveCommon
+    tpath = tmp_path / "targets.txt"
+    with open(tpath, "w") as f:
+        for i, g in enumerate(genomes):
+            p = tmp_path / f"pg{i}.fa"
+            write_fasta(p, [(f"pg{i}", g)], width=70)
+            f.write(f"{p} {5000 + i}\n")
+    targets = parse_targets(str(tpath))
+    prof = params.tiny(htsize=65521, k=13)
+    monkeypatch.setenv("CLARK_TPU_BUILD_PART_MIN", str(1 << 40))  # force off
+    one = builder.build_database(targets, str(d1), prof, 13)
+    monkeypatch.setenv("CLARK_TPU_BUILD_PART_MIN", "0")  # force on
+    part = builder.build_database(targets, str(d2), prof, 13)
+    assert np.array_equal(one.canonical, part.canonical)
+    assert np.array_equal(one.labels, part.labels)
+    assert one.n_mother == part.n_mother
+    stem = prof.db_stem(13, targets.n_targets, 0, prof.default_gap)
+    for ext in (".sz", ".ky", ".lb"):
+        a = (d1 / (stem + ext)).read_bytes()
+        b = (d2 / (stem + ext)).read_bytes()
+        assert a == b, ext
+
+
+def test_serialize_db_parts_byte_identical():
+    """Remainder-partitioned serializer vs one-shot vs numpy, all widths."""
+    from jn_cuclark_tpu.io import dbformat
+    from jn_cuclark_tpu.utils import native
+
+    if not (native.available() and native.has_partitioned_build()):
+        pytest.skip("native partitioned build unavailable")
+    rng = np.random.default_rng(33)
+    htsize = 65521
+    k = 13
+    canon = np.unique(
+        rng.integers(0, 1 << (2 * k), size=200_000, dtype=np.uint64)
+    )
+    labels = rng.integers(0, 50, size=len(canon)).astype(np.uint16)
+    rem_bits = max(int(htsize - 1).bit_length(), 1)
+    a = native.serialize_db(canon, labels, htsize, rem_bits, np.uint16)
+    for pbits in (1, 3, 5):
+        b = native.serialize_db_parts(
+            canon, labels, htsize, rem_bits, np.uint16, pbits
+        )
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y), pbits
