@@ -325,7 +325,6 @@ def build_database(
     part_min = int(os.environ.get("CLARK_TPU_BUILD_PART_MIN", str(1 << 25)))
     if (
         use_native
-        and not device
         and all_unit_counts
         and not tsk
         and native.has_partitioned_build()
@@ -338,7 +337,8 @@ def build_database(
         # independently, so sort temps and n-sized temporaries never
         # coexist at full scale.  Output identical to the one-shot path.
         spec_c, spec_l, n_mother = _build_partitioned(
-            occ_c, file_lids, targets, k, min_count_target, lelement
+            occ_c, file_lids, targets, k, min_count_target, lelement,
+            device=device,
         )
         stem = os.path.join(
             folder, profile.db_stem(k, targets.n_targets, min_count_target, gap)
@@ -408,7 +408,9 @@ def build_database(
     return BuiltDB(canonical=spec_c, labels=spec_l, n_mother=len(canon))
 
 
-def _build_partitioned(occ_c, file_lids, targets, k, min_count, lelement):
+def _build_partitioned(
+    occ_c, file_lids, targets, k, min_count, lelement, device=False
+):
     """Bounded-memory aggregate + discriminativity filter over canonical-
     range partitions (global output order — canonical ascending — is
     preserved because partitions are contiguous canonical ranges).
@@ -416,7 +418,14 @@ def _build_partitioned(occ_c, file_lids, targets, k, min_count, lelement):
     Frees each file's occurrence array right after its scatter; peak host
     memory is the 16-byte-per-occurrence KV buffer plus one partition's
     sort temp, instead of the one-shot path's full-size kv + parallel-sort
-    temp + five n-sized output arrays."""
+    temp + five n-sized output arrays.
+
+    device=True aggregates each partition on the accelerator
+    (device_build.aggregate_device) with partitions padded to a shape
+    ladder so jit executables are reused — bounded DEVICE memory too,
+    which is what the one-shot device path lacked at RefSeq scale
+    (VERDICT r3 item 9).  Falls back loudly to the native host aggregate
+    if the device path fails."""
     from ..utils import native
 
     all_labels = targets.labels + targets.labels_c
@@ -449,13 +458,30 @@ def _build_partitioned(occ_c, file_lids, targets, k, min_count, lelement):
     spec_c_parts: list[np.ndarray] = []
     spec_l_parts: list[np.ndarray] = []
     n_mother = 0
+    use_device = bool(device) and k <= 31  # pad sentinel needs 2^64-1 free
     for p in range(P):
         n_p = int(counts[p])
         if n_p == 0:
             continue
-        cp, l0p, mp, ctp, _ = native.aggregate_kv_range(
-            kv, int(offs[p]), n_p, pg, lelement
-        )
+        agg = None
+        if use_device:
+            agg = _aggregate_partition_device(
+                kv, int(offs[p]), n_p, pg, lelement
+            )
+            if agg is None:
+                import sys
+
+                print(
+                    "device aggregation failed; falling back to the "
+                    "native host build for the remaining partitions",
+                    file=sys.stderr,
+                )
+                use_device = False
+        if agg is None:
+            agg = native.aggregate_kv_range(
+                kv, int(offs[p]), n_p, pg, lelement
+            )
+        cp, l0p, mp, ctp = agg[:4]
         n_mother += len(cp)
         sc, sl = remove_common(cp, l0p, mp, ctp, targets, min_count)
         spec_c_parts.append(sc)
@@ -468,6 +494,39 @@ def _build_partitioned(occ_c, file_lids, targets, k, min_count, lelement):
         np.concatenate(spec_l_parts),
         n_mother,
     )
+
+
+_PAD_CANON = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _aggregate_partition_device(kv, off, n, pg, lelement):
+    """One partition's aggregation on the accelerator, padded to a pow2
+    shape ladder (>= 2^20 entries) so the jitted sort/segment executables
+    are reused across partitions.  Pad entries use canonical 2^64-1
+    (not a real k-mer for k <= 31, caller-gated) and sort to one trailing
+    group that is sliced off.  Returns None on failure (the caller falls
+    back to the native host aggregate, loudly).  first_seq is partition-
+    local (unused by this path's callers: --tsk builds never come here)."""
+    from .device_build import aggregate_device
+
+    part = kv[off : off + n]
+    canon = np.ascontiguousarray(part["k"])
+    label = (part["v"] & 0xFFFF).astype(np.int32)
+    pad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 20)
+    padded = pad > n
+    if padded:
+        canon = np.concatenate(
+            [canon, np.full(pad - n, _PAD_CANON, np.uint64)]
+        )
+        label = np.concatenate([label, np.zeros(pad - n, np.int32)])
+    try:
+        out = aggregate_device(canon, label, pg, lelement)
+    except Exception:  # backend-dependent (e.g. remote AOT compile OOM)
+        return None
+    if padded:
+        # the pad sentinel is the max canonical: exactly one trailing group
+        out = tuple(a[:-1] for a in out)
+    return out
 
 
 def _write_tsk_files(

@@ -1235,9 +1235,12 @@ class Classifier:
 
         acc: dict[int, dict] = {}
         g = 1 if extended else max(self.plan.fetch_group, 1)
+        fw = int(os.environ.get("CLARK_TPU_FETCH_WORKERS", "2"))
         entries = self._pipelined(flat_batches(), dispatch)
         groups = itertools.batched(entries, g)
-        for got_group in self._pipelined(groups, fetch_group, depth=2):
+        for got_group in self._pipelined_pool(
+            groups, fetch_group, workers=fw, depth=2
+        ):
             for meta, arrs_f in got_group:
                 if meta[0] == "d":
                     _, (ns, ne, ln), nb = meta
@@ -1368,12 +1371,15 @@ class Classifier:
                     n_targets=self.n_targets if extended else 0,
                 )
 
-        # 3-stage pipeline: pack+dispatch thread -> fetch thread -> format
+        # 3-stage pipeline: pack+dispatch thread -> fetch pool -> format
         # here; each stage overlaps the others' blocked waits
         g = 1 if extended else max(self.plan.fetch_group, 1)
+        fw = int(os.environ.get("CLARK_TPU_FETCH_WORKERS", "2"))
         entries = self._pipelined(self._plan_batches_stream(scan), dispatch)
         groups = itertools.batched(entries, g)
-        for got_group in self._pipelined(groups, fetch_group, depth=2):
+        for got_group in self._pipelined_pool(
+            groups, fetch_group, workers=fw, depth=2
+        ):
             for got in got_group:
                 yield fmt(got)
 
@@ -1407,6 +1413,38 @@ class Classifier:
         return self._names_buf
 
     # --------------------------------------------------- threaded pipelining
+    def _pipelined_pool(self, items, fn, workers: int, depth: int):
+        """Ordered map with `workers` concurrent fn calls, up to `depth`
+        submitted ahead.  Used for the result-fetch stage: each
+        device_get is a full tunnel round trip, and on a degraded relay
+        a round trip can take SECONDS — issuing fetches concurrently
+        overlaps those waits (harmless at sub-ms attached-host RTs).
+        Falls back to the single-thread pipeline when workers <= 1."""
+        if workers <= 1:
+            yield from self._pipelined(items, fn, depth=depth)
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending: collections.deque = collections.deque()
+            it = iter(items)
+            try:
+                while True:
+                    while it is not None and len(pending) < max(depth, workers):
+                        try:
+                            item = next(it)
+                        except StopIteration:
+                            it = None
+                            break
+                        pending.append(ex.submit(fn, item))
+                    if not pending:
+                        break
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
+
     def _pipelined(self, items, fn, depth: int | None = None):
         """Yield fn(item) in order, with fn running in a worker thread.
 

@@ -385,3 +385,31 @@ def test_serialize_db_parts_byte_identical():
         )
         for x, y in zip(a, b):
             assert np.array_equal(x, y), pbits
+
+
+def test_partitioned_device_build_matches_host(tmp_path, monkeypatch):
+    """Chunked device aggregation (per-partition, padded shape ladder)
+    must produce the same DB as the host partitioned path."""
+    from jn_cuclark_tpu.utils import native
+
+    if not (native.available() and native.has_partitioned_build()):
+        pytest.skip("native partitioned build unavailable")
+    rng = np.random.default_rng(41)
+    d1, d2 = tmp_path / "host", tmp_path / "dev"
+    d1.mkdir(), d2.mkdir()
+    genomes = [rand_seq(rng, 4000) for _ in range(3)]
+    genomes[0] += genomes[1][:150]  # overlap -> common k-mers
+    tpath = tmp_path / "targets.txt"
+    with open(tpath, "w") as f:
+        for i, g in enumerate(genomes):
+            p = tmp_path / f"dg{i}.fa"
+            write_fasta(p, [(f"dg{i}", g)], width=70)
+            f.write(f"{p} {7000 + i}\n")
+    targets = parse_targets(str(tpath))
+    prof = params.tiny(htsize=65521, k=13)
+    monkeypatch.setenv("CLARK_TPU_BUILD_PART_MIN", "0")
+    host = builder.build_database(targets, str(d1), prof, 13)
+    dev = builder.build_database(targets, str(d2), prof, 13, device=True)
+    assert np.array_equal(host.canonical, dev.canonical)
+    assert np.array_equal(host.labels, dev.labels)
+    assert host.n_mother == dev.n_mother
