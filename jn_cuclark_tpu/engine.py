@@ -1054,10 +1054,28 @@ class Classifier:
 
     def _cycled_accumulate(self, pass_fn, packed_batches, acc, strategy):
         """Run one pass's batch_fn over every packed batch, accumulating
-        host-side (labels concatenate across cycles, counts add)."""
-        for bi, (words, vwords) in enumerate(packed_batches):
-            out = pass_fn(jnp.asarray(words), jnp.asarray(vwords))
-            c = np.asarray(out)
+        host-side (labels concatenate across cycles, counts add).
+
+        Dispatch runs in a worker thread and result fetches issue
+        concurrently (each is a full round trip on remote runtimes;
+        serialized fetches of the per-cycle label grids dominated cycled
+        throughput on a degraded relay)."""
+
+        def dispatch(item):
+            bi, (words, vwords) = item
+            with maybe_phase("dispatch"):
+                return bi, pass_fn(jnp.asarray(words), jnp.asarray(vwords))
+
+        def fetch(item):
+            bi, out = item
+            with maybe_phase("device_wait"):
+                return bi, np.asarray(out)
+
+        fw = int(os.environ.get("CLARK_TPU_FETCH_WORKERS", "2"))
+        entries = self._pipelined(enumerate(packed_batches), dispatch)
+        for bi, c in self._pipelined_pool(
+            entries, fetch, workers=fw, depth=2
+        ):
             if strategy == "labels":
                 if acc[bi] is None:
                     acc[bi] = [c]
