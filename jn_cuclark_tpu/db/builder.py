@@ -459,6 +459,17 @@ def _build_partitioned(
     spec_l_parts: list[np.ndarray] = []
     n_mother = 0
     use_device = bool(device) and k <= 31  # pad sentinel needs 2^64-1 free
+    if use_device:
+        import sys
+
+        print(
+            "aggregating on the accelerator (--device): ships the "
+            "occurrence stream to the device and the aggregate back; "
+            "measured SLOWER than the native host build over a remote/"
+            "tunneled runtime (host 51s vs device >528s at 46M keys) — "
+            "use only with directly-attached accelerators",
+            file=sys.stderr,
+        )
     for p in range(P):
         n_p = int(counts[p])
         if n_p == 0:
