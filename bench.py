@@ -194,7 +194,18 @@ def _rate(clf, fa, k, reps=3, paired=False):
     n = 0
     rep_rates = []
     best_phases = {}
-    for _ in range(reps):
+    max_reps = reps + 3
+    r = 0
+    while r < reps or (
+        # the relay warms up over a run (measured: 310k -> 423k -> 506k
+        # in consecutive reps): while the LAST rep is still the best and
+        # clearly above its predecessor, keep going (bounded) so the
+        # recorded best reflects steady state, not the warmup ramp
+        r < max_reps
+        and len(rep_rates) >= 2
+        and rep_rates[-1] == max(rep_rates)
+        and rep_rates[-1] > 1.1 * rep_rates[-2]
+    ):
         with profiling.collect() as ph:
             t0 = time.time()
             n = 0
@@ -210,6 +221,7 @@ def _rate(clf, fa, k, reps=3, paired=False):
                 name: round(tot, 3) for name, tot in ph.totals.items()
             }
             best_phases["wall"] = round(dt, 3)
+        r += 1
     from jn_cuclark_tpu.io.fasta import parse_reads
 
     lens = parse_reads(fa).read_lengths
