@@ -343,3 +343,37 @@ def test_scan_stream_format_pinned_across_chunks():
         got = scan.arrays(0, n)
         for a, b in zip(got, whole):
             np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_pool_order_and_errors():
+    """The concurrent fetch pool must preserve input order and propagate
+    worker exceptions to the consumer."""
+    import time as _time
+
+    from jn_cuclark_tpu.engine import Classifier
+
+    pool = Classifier._pipelined_pool
+
+    class Dummy:
+        _pipelined = Classifier._pipelined
+        plan = type("P", (), {"pipeline_depth": 4})()
+
+    d = Dummy()
+
+    def slow_sq(x):
+        _time.sleep(0.01 * ((x % 3) + 1))  # out-of-order completion times
+        return x * x
+
+    assert list(pool(d, range(20), slow_sq, workers=3, depth=4)) == [
+        x * x for x in range(20)
+    ]
+
+    def boom(x):
+        if x == 5:
+            raise ValueError("boom")
+        return x
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        list(pool(d, range(10), boom, workers=2, depth=3))
