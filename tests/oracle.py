@@ -84,12 +84,17 @@ def classify_read(db: dict[int, int], seq: str, k: int):
 
 
 def format_row(name, total, index_best, best, s_best, norm, k, names, counts=None, n_targets=None):
-    gamma = float(total) / (float(norm) - k + 1.0)
-    delta = float(best + s_best)
-    conf = 0.0 if delta < 0.001 else float(best) / delta
     ext = ""
     if counts is not None:
         ext = "".join(",%d" % counts.get(t, 0) for t in range(n_targets))
+    denom = float(norm) - k + 1.0
+    if denom == 0.0:
+        # reads of length exactly k-1: C prints 0.0/0.0 as "-nan" (glibc)
+        # and the assignment falls back to NA (engine._format_row_nan)
+        return "%s%s,-nan,%s,%u,0" % (name, ext, names[0], best)
+    gamma = float(total) / denom
+    delta = float(best + s_best)
+    conf = 0.0 if delta < 0.001 else float(best) / delta
     return "%s%s,%g,%s,%u,%g" % (name, ext, gamma, names[index_best], best, conf)
 
 

@@ -68,6 +68,9 @@ def test_random_equivalence(tmp_path, seed, k, light):
             cut = int(rng.integers(1, len(s) - 1))
             s = s[:cut] + "N" + s[cut + 1 :]
         reads.append((f"r{i}", s))
+    # length exactly k-1: denominator 0 -> the reference's "-nan" row
+    # (fuzz-found oracle gap, round 4)
+    reads.append(("edge_km1", rand_seq(rng, k - 1)))
     fa = "".join(f">{n}\n{s}\n" for n, s in reads).encode()
 
     clf = Classifier.load(
