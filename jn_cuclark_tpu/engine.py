@@ -89,13 +89,15 @@ class BatchPlan:
     # window) against full ones; the window is also the result-reorder
     # granularity (a window's scalars are ~20B/read host-side, so even
     # 64-batch windows would be cheap — 8 keeps first-output latency low)
-    fetch_group: int = 4  # batches per device_get in the non-extended native
-    # path: every device_get is a full tunnel round trip, so fetching G
-    # batches' (tiny) result rows in ONE call removes G-1 round trips
-    # (measured interleaved A/B at 7x[43690 x 192]: per-batch fetch 202k r/s,
-    # group-of-all 287k, pairs 262k).  Extended mode always fetches
-    # per batch — its dense counts are ~87 MB/batch and grouping would
-    # hold G of them on device and host.
+    fetch_group: int = 16  # batches per device_get in the non-extended
+    # native path: every device_get is a full tunnel round trip, so
+    # fetching G batches' (tiny) result rows in ONE call removes G-1
+    # round trips (r2 A/B: per-batch 202k r/s, grouped 287k; r4 10M-pair
+    # A/B at seconds-long degraded-relay RTs: G=16 beats G=4 110.9k vs
+    # 69.0k pairs/s cold and 141.4k vs 135.7k warm — the result rows are
+    # ~1 MB/batch so holding 16 is negligible).  Extended mode always
+    # fetches per batch — its run grids are ~8 MB/batch and grouping
+    # would hold G of them on device and host.
 
 
 def _stride_tiers(lengths: np.ndarray) -> np.ndarray:
