@@ -14,13 +14,18 @@ CuCLARK_hh.hh:552-563, plus DEBUG_* printf tracing).  Here:
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 
 
 class Phases:
+    """Accumulating phase timers; updated from the engine's pipeline
+    threads (dispatch worker, fetch pool), so accumulation is locked."""
+
     def __init__(self):
         self.totals: dict[str, float] = {}
         self.counts: dict[str, int] = {}
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -28,13 +33,12 @@ class Phases:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            self.add(name, time.perf_counter() - t0)
 
     def add(self, name: str, seconds: float):
-        self.totals[name] = self.totals.get(name, 0.0) + seconds
-        self.counts[name] = self.counts.get(name, 0) + 1
+        with self._lock:
+            self.totals[name] = self.totals.get(name, 0.0) + seconds
+            self.counts[name] = self.counts.get(name, 0) + 1
 
     def summary(self) -> str:
         lines = ["phase            total_s   calls   avg_ms"]
