@@ -407,7 +407,7 @@ class Classifier:
                 self.stash_l = jax.device_put(table.stash_labels)
                 meta = self.table_meta
 
-                def batch_fn(words, vwords, extended=True):
+                def batch_fn(words, vwords, extended=True, probe_cols=None):
                     return device_pipeline.classify_batch(
                         self.slots,
                         self.lab_flat,
@@ -418,6 +418,7 @@ class Classifier:
                         k=self.k,
                         n_targets=self.n_targets,
                         extended=extended,
+                        probe_cols=probe_cols,
                         **meta,
                     )
 
@@ -797,12 +798,12 @@ class Classifier:
                         for i in range(r1 - r0)
                     )
 
-            specs, packed = self._cycled_prepare(lengths, packer)
+            specs, packed, pcs = self._cycled_prepare(lengths, packer)
             samples.append(
                 dict(
                     result=result_path, paired=paired, lengths=lengths,
                     specs=specs, packed=packed, acc=[None] * len(specs),
-                    formatter=formatter,
+                    formatter=formatter, pcs=pcs,
                 )
             )
         strategy = self._cycled_strategy([s["packed"] for s in samples])
@@ -810,7 +811,9 @@ class Classifier:
         for j in range(n_passes):
             pass_fn = begin_pass(j)
             for s in samples:
-                self._cycled_accumulate(pass_fn, s["packed"], s["acc"], strategy)
+                self._cycled_accumulate(
+                    pass_fn, s["packed"], s["acc"], strategy, s["pcs"]
+                )
             end_pass()
         outs = []
         for s in samples:
@@ -843,6 +846,19 @@ class Classifier:
                 }
             )
         return stats
+
+    def _probe_cols(self, max_len, stride: int) -> int:
+        """Static probed-window count for a batch whose longest read is
+        max_len at the given stride tier: always-invalid pad columns
+        beyond (max_len - k + 1) are trimmed before the probe (stride
+        quantization pads 150 bp reads at stride 192 to 162 probed slots
+        of which only 120 can be valid — pure probe waste).  Rounded up
+        to a multiple of 32 so each tier contributes a handful of jit
+        shapes; capped at the tier's full width."""
+        w_full = max(stride - self.k + 1, 1)
+        w = max(int(max_len) - self.k + 1, 1)
+        w = -(-w // 32) * 32
+        return min(w, w_full)
 
     def _header(self, extended: bool) -> bytes:
         cols = ["Object_ID"]
@@ -895,8 +911,9 @@ class Classifier:
 
     def _cycled_prepare(self, lengths, packer):
         """Plan + pack one input's batches for out-of-core passes; returns
-        (specs, packed_batches) with length-bucketed (idx, stride, r_pad)
-        specs (file-order contiguous specs when sort_batches=False)."""
+        (specs, packed_batches, probe_cols) with length-bucketed
+        (idx, stride, r_pad) specs (file-order contiguous specs when
+        sort_batches=False)."""
         if self.plan.sort_batches:
             specs = self._window_specs(_stride_tiers(lengths))
         else:
@@ -905,10 +922,15 @@ class Classifier:
                 for r0, r1, stride, r_cap in self._plan_batches(lengths)
             ]
         packed_batches = []
+        pcs = []
+        lengths = np.asarray(lengths)
         for idx, stride, r_pad in specs:
             words, vwords = packer(idx, stride)
             packed_batches.append(_pad_batch(words, vwords, r_pad))
-        return specs, packed_batches
+            pcs.append(
+                self._probe_cols(lengths[idx].max(initial=1), stride)
+            )
+        return specs, packed_batches, pcs
 
     def _cycled_strategy(self, packed_lists) -> str:
         """Resolve the cycle accumulation strategy over all inputs of a run.
@@ -953,13 +975,15 @@ class Classifier:
         Batches are length-bucketed over the whole input (idx, stride,
         r_pad); scoring scatters per-read results back to file order before
         formatting."""
-        specs, packed_batches = self._cycled_prepare(lengths, packer)
+        specs, packed_batches, pcs = self._cycled_prepare(lengths, packer)
         acc = [None] * len(specs)
         strategy = self._cycled_strategy([packed_batches])
         n_passes, begin_pass, end_pass = self._cycle_passes(strategy)
         for j in range(n_passes):
             pass_fn = begin_pass(j)
-            self._cycled_accumulate(pass_fn, packed_batches, acc, strategy)
+            self._cycled_accumulate(
+                pass_fn, packed_batches, acc, strategy, pcs
+            )
             end_pass()
         yield from self._cycled_finish(
             specs, acc, strategy, lengths, paired, extended, formatter,
@@ -1034,17 +1058,18 @@ class Classifier:
             slots, lab, start, use_stash = arrs
 
             if strategy == "labels":
-                def fn(words, vwords):
+                def fn(words, vwords, probe_cols=None):
                     return classify_batch_labels_chunk(
                         slots, lab, sk, sl, words, vwords, start,
-                        use_stash, k=k, narrow=narrow, **self.table_meta,
+                        use_stash, k=k, narrow=narrow,
+                        probe_cols=probe_cols, **self.table_meta,
                     )
             else:
-                def fn(words, vwords):
+                def fn(words, vwords, probe_cols=None):
                     return classify_batch_counts_chunk(
                         slots, lab, sk, sl, words, vwords, start,
                         use_stash, k=k, n_targets=self.n_targets,
-                        **self.table_meta,
+                        probe_cols=probe_cols, **self.table_meta,
                     )
 
             return fn
@@ -1054,7 +1079,9 @@ class Classifier:
 
         return n_passes, begin_pass, end_pass
 
-    def _cycled_accumulate(self, pass_fn, packed_batches, acc, strategy):
+    def _cycled_accumulate(
+        self, pass_fn, packed_batches, acc, strategy, pcs=None
+    ):
         """Run one pass's batch_fn over every packed batch, accumulating
         host-side (labels concatenate across cycles, counts add).
 
@@ -1065,8 +1092,11 @@ class Classifier:
 
         def dispatch(item):
             bi, (words, vwords) = item
+            pc = pcs[bi] if pcs is not None else None
             with maybe_phase("dispatch"):
-                return bi, pass_fn(jnp.asarray(words), jnp.asarray(vwords))
+                return bi, pass_fn(
+                    jnp.asarray(words), jnp.asarray(vwords), probe_cols=pc
+                )
 
         def fetch(item):
             bi, out = item
@@ -1194,16 +1224,22 @@ class Classifier:
                     yield ("d", r0, r1, stride, r_cap)
                     continue
                 _, w0, arrs, specs = item
-                max_w = max(s for _, s, _ in specs) - (k - 1)
-                for idx, stride, r_pad in specs:
+                lens = arrs[4]
+                pcs = [
+                    self._probe_cols(lens[idx].max(initial=1), stride)
+                    for idx, stride, _ in specs
+                ]
+                max_w = max(pcs)
+                for (idx, stride, r_pad), pc in zip(specs, pcs):
                     yield ("w", wid, arrs, len(specs), idx, stride, r_pad,
-                           max_w)
+                           max_w, pc)
                 wid += 1
 
         def dispatch(item):
             if item[0] == "d":
                 _, r0, r1, stride, r_cap = item
                 ns, ne, ss, se, ln = scan.arrays(r0, r1)
+                pc = self._probe_cols(ln.max(initial=1), stride)
                 with maybe_phase("pack"):
                     words, vwords = _native.pack_batch(data, ss, se, stride)
                     words, vwords = _pad_batch(
@@ -1212,9 +1248,9 @@ class Classifier:
                 with maybe_phase("dispatch"):
                     return ("d", (ns, ne, ln), r1 - r0), self.batch_fn(
                         jnp.asarray(words), jnp.asarray(vwords),
-                        extended=ext_mode,
+                        extended=ext_mode, probe_cols=pc,
                     )
-            _, wid, arrs, n_specs, idx, stride, r_pad, max_w = item
+            _, wid, arrs, n_specs, idx, stride, r_pad, max_w, pc = item
             ss, se = arrs[2], arrs[3]
             with maybe_phase("pack"):
                 words, vwords = _native.pack_batch(
@@ -1223,7 +1259,8 @@ class Classifier:
                 words, vwords = _pad_batch(words, vwords, r_pad)
             with maybe_phase("dispatch"):
                 return ("w", wid, arrs, n_specs, idx, max_w), self.batch_fn(
-                    jnp.asarray(words), jnp.asarray(vwords), extended=ext_mode
+                    jnp.asarray(words), jnp.asarray(vwords),
+                    extended=ext_mode, probe_cols=pc,
                 )
 
         def fetch_group(group):
@@ -1343,6 +1380,7 @@ class Classifier:
         def dispatch(spec):
             r0, r1, stride, r_cap = spec
             ns, ne, ss, se, ln = scan.arrays(r0, r1)
+            pc = self._probe_cols(ln.max(initial=1), stride)
             with maybe_phase("pack"):
                 words, vwords = _native.pack_batch(data, ss, se, stride)
                 if r1 - r0 < r_cap:
@@ -1354,7 +1392,8 @@ class Classifier:
                     )
             with maybe_phase("dispatch"):
                 return ((r0, r1), (ns, ne, ln)), self.batch_fn(
-                    jnp.asarray(words), jnp.asarray(vwords), extended=extended
+                    jnp.asarray(words), jnp.asarray(vwords),
+                    extended=extended, probe_cols=pc,
                 )
 
         def fetch_group(group):
@@ -1688,10 +1727,12 @@ class Classifier:
 
         def dispatch(item):
             wid, w0, w1, n_specs, idx, stride, r_pad = item
+            pc = self._probe_cols(lengths[idx].max(initial=1), stride)
             words, vwords = pack.pack_batch_idx(rs, idx, stride)
             words, vwords = _pad_batch(words, vwords, r_pad)
             return (wid, w0, w1, n_specs, idx), self.batch_fn(
-                jnp.asarray(words), jnp.asarray(vwords), extended=extended
+                jnp.asarray(words), jnp.asarray(vwords), extended=extended,
+                probe_cols=pc,
             )
 
         def fetch(entry):
@@ -1758,6 +1799,7 @@ class Classifier:
 
         def dispatch(spec):
             r0, r1, stride, r_cap = spec
+            pc = self._probe_cols(lengths[r0:r1].max(initial=1), stride)
             words, vwords = pack.pack_batch(rs, r0, r1, stride)
             if r1 - r0 < r_cap:  # pad rows to the tier's fixed shape
                 padw = np.zeros((r_cap - (r1 - r0), words.shape[1]), np.uint64)
@@ -1766,7 +1808,8 @@ class Classifier:
                     [vwords, np.zeros((r_cap - (r1 - r0), vwords.shape[1]), np.uint64)]
                 )
             return (r0, r1), self.batch_fn(
-                jnp.asarray(words), jnp.asarray(vwords), extended=extended
+                jnp.asarray(words), jnp.asarray(vwords), extended=extended,
+                probe_cols=pc,
             )
 
         def fetch(entry):

@@ -18,17 +18,21 @@ import jax.numpy as jnp
 from . import radix_table, score
 
 
-def window_canonicals(words, vwords, k: int):
-    """[R, S-k+1] canonical window values + validity from packed rows.
+def window_canonicals(words, vwords, k: int, probe_cols: int | None = None):
+    """[R, W] canonical window values + validity from packed rows.
 
     words:  [R, S/32 + 1] uint64 (2-bit codes, first char lowest bits)
     vwords: [R, S/64 + 1] uint64 (validity bits, first char lowest bit)
 
-    Only the first S-k+1 columns are returned: a window starting in the
-    last k-1 positions runs off the row and can never be valid, and
-    probing those always-miss columns cost a measured ~15% of the probe
-    (the k-mer set is unchanged — the trimmed columns fail the validity
-    mask by construction).
+    W = min(probe_cols, S-k+1).  Only the first S-k+1 columns can ever be
+    valid (a window starting in the last k-1 positions runs off the row),
+    and the CALLER may trim further with `probe_cols` when it knows the
+    batch's true maximum read length: stride quantization pads reads to
+    the tier (e.g. 150 bp at stride 192 -> 162 probed slots but only 120
+    can be valid), and probing always-invalid pad columns is pure waste
+    (measured ~15% for the k-1 trim alone; up to ~26% more at
+    length-vs-tier worst cases).  The k-mer set is unchanged — trimmed
+    columns fail the validity mask by construction.
     """
     R, Wp1 = words.shape
     W = Wp1 - 1
@@ -56,6 +60,8 @@ def window_canonicals(words, vwords, k: int):
 
     canon = jnp.minimum(val, _revcomp(val, k))
     w = max(S - (k - 1), 1)
+    if probe_cols is not None:
+        w = max(min(w, probe_cols), 1)
     return canon[:, :w], valid[:, :w]
 
 
@@ -79,17 +85,17 @@ def _revcomp(v, k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets")
+    jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets", "probe_cols")
 )
 def classify_batch_counts_chunk(
     slots_blk, labels_blk, stash_keys, stash_labels, words, vwords,
-    start_row, use_stash, *, k, m1, lb, c, n_targets,
+    start_row, use_stash, *, k, m1, lb, c, n_targets, probe_cols=None,
 ):
     """Out-of-core cycle step: per-read counts against ONE table chunk.
     Counts from disjoint chunks add (host accumulates across cycles),
     mirroring the reference's swapDbParts + host-row merge
     (CuClarkDB.cu:776-815, 931-948)."""
-    canon, valid = window_canonicals(words, vwords, k)
+    canon, valid = window_canonicals(words, vwords, k, probe_cols)
     q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
     lab = radix_table.probe_chunk(
         slots_blk, labels_blk, stash_keys, stash_labels, q, start_row,
@@ -101,10 +107,12 @@ def classify_batch_counts_chunk(
     return score.counts_from_hits(lab, rid, R, n_targets)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "m1", "lb", "c", "narrow"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "m1", "lb", "c", "narrow", "probe_cols")
+)
 def classify_batch_labels_chunk(
     slots_blk, labels_blk, stash_keys, stash_labels, words, vwords,
-    start_row, use_stash, *, k, m1, lb, c, narrow,
+    start_row, use_stash, *, k, m1, lb, c, narrow, probe_cols=None,
 ):
     """Out-of-core cycle step returning per-WINDOW matched labels [R, S]
     (label+1, 0 = miss) instead of dense per-read counts.
@@ -116,7 +124,7 @@ def classify_batch_labels_chunk(
     dense count accumulation at RefSeq scale (10k+ targets) would need
     ~4*T bytes/read/batch on the host, this needs 2-4*S.  `narrow` packs
     labels into uint16 (valid while n_targets < 65535)."""
-    canon, valid = window_canonicals(words, vwords, k)
+    canon, valid = window_canonicals(words, vwords, k, probe_cols)
     q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
     lab = radix_table.probe_chunk(
         slots_blk, labels_blk, stash_keys, stash_labels, q, start_row,
@@ -155,11 +163,13 @@ def score_from_labels(lab, *, n_targets, extended):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "m1", "lb", "c", "n_targets", "extended")
+    jax.jit,
+    static_argnames=("k", "m1", "lb", "c", "n_targets", "extended",
+                     "probe_cols"),
 )
 def classify_batch(
     slots, labels, stash_keys, stash_labels, words, vwords,
-    *, k, m1, lb, c, n_targets, extended=True,
+    *, k, m1, lb, c, n_targets, extended=True, probe_cols=None,
 ):
     """Full single-device batch step; returns (total, ibest, best, sbest,
     counts[R, T+1]).
@@ -167,8 +177,9 @@ def classify_batch(
     extended=False skips the dense count matrix (needed only for --extended
     CSV columns) and takes the sort-runs top-2 path (score.top2_from_labels):
     ~15x cheaper at 500 targets, bit-identical results; counts comes back as
-    a [R, 0] placeholder."""
-    canon, valid = window_canonicals(words, vwords, k)
+    a [R, 0] placeholder.  probe_cols trims always-invalid pad columns
+    before the probe (see window_canonicals)."""
+    canon, valid = window_canonicals(words, vwords, k, probe_cols)
     q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
     lab = radix_table.probe(
         slots, labels, stash_keys, stash_labels, q, m1=m1, lb=lb, c=c

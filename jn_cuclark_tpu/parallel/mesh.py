@@ -192,9 +192,10 @@ class ShardedRadixTable:
         )
 
     # ----------------------------------------------------------- execution
-    def _fn(self, kind):
-        if kind in self._fns:
-            return self._fns[kind]
+    def _fn(self, kind, probe_cols=None):
+        key = (kind, probe_cols)
+        if key in self._fns:
+            return self._fns[key]
         from ..ops import device_pipeline, radix_table, score
 
         axis, k = self.axis, self.k
@@ -204,7 +205,9 @@ class ShardedRadixTable:
         n_targets = self.n_targets
 
         def local_counts(slots_blk, lab_blk, sk, sl, words, vwords, cycle):
-            canon, valid = device_pipeline.window_canonicals(words, vwords, k)
+            canon, valid = device_pipeline.window_canonicals(
+                words, vwords, k, probe_cols
+            )
             q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
             d = jax.lax.axis_index(axis)
             start = d * rpd + cycle * rpc
@@ -227,7 +230,9 @@ class ShardedRadixTable:
             """Per-window (label+1), merged across shards with one psum —
             a key lives in exactly one shard (and the stash is gated to
             shard 0), so per-shard labels are disjoint and add."""
-            canon, valid = device_pipeline.window_canonicals(words, vwords, k)
+            canon, valid = device_pipeline.window_canonicals(
+                words, vwords, k, probe_cols
+            )
             q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
             d = jax.lax.axis_index(axis)
             start = d * rpd + cycle * rpc
@@ -310,7 +315,7 @@ class ShardedRadixTable:
                 out_specs=out_specs,
             )
         )
-        self._fns[kind] = jfn
+        self._fns[key] = jfn
         return jfn
 
     def _upload_cycle(self, j: int):
@@ -358,9 +363,9 @@ class ShardedRadixTable:
             pre["thread"].start()
             self._pre = pre
 
-        def pass_fn(words, vwords):
+        def pass_fn(words, vwords, probe_cols=None):
             _, slots, labels, cyc = self._cur
-            return self._fn(kind)(
+            return self._fn(kind, probe_cols)(
                 slots, labels, self._sk, self._sl,
                 self._feed(words), self._feed(vwords), cyc,
             )
@@ -371,7 +376,7 @@ class ShardedRadixTable:
         if self.n_cycles > 1:
             self._cur = None  # free HBM before the next cycle's upload
 
-    def classify(self, words, vwords, extended=True):
+    def classify(self, words, vwords, extended=True, probe_cols=None):
         """Single-cycle full batch step: (total, ibest, best, sbest, counts),
         replicated on every device/process.  extended="sorted" returns the
         sorted u16 label grid as the 5th output (sorted-runs extended)."""
@@ -381,7 +386,7 @@ class ShardedRadixTable:
         else:
             kind = "classify" if extended else "classify_top2"
         _, slots, labels, cyc = self._cur
-        return self._fn(kind)(
+        return self._fn(kind, probe_cols)(
             slots, labels, self._sk, self._sl,
             self._feed(words), self._feed(vwords), cyc,
         )
@@ -411,16 +416,18 @@ def shard_reads(mesh: Mesh, table, n_targets: int, k: int):
 
     jfns = {}
 
-    def _jfn(extended: bool):
-        if extended not in jfns:
+    def _jfn(extended, probe_cols):
+        key = (extended, probe_cols)
+        if key not in jfns:
 
             def local_fn(slots, labels, sk, sl, words, vwords):
                 return device_pipeline.classify_batch(
                     slots, labels, sk, sl, words, vwords,
-                    k=k, n_targets=n_targets, extended=extended, **meta,
+                    k=k, n_targets=n_targets, extended=extended,
+                    probe_cols=probe_cols, **meta,
                 )
 
-            jfns[extended] = jax.jit(
+            jfns[key] = jax.jit(
                 shard_map(
                     local_fn,
                     mesh,
@@ -428,9 +435,9 @@ def shard_reads(mesh: Mesh, table, n_targets: int, k: int):
                     out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
                 )
             )
-        return jfns[extended]
+        return jfns[key]
 
-    def batch_fn(words, vwords, extended=True):
+    def batch_fn(words, vwords, extended=True, probe_cols=None):
         r = (-words.shape[0]) % ndev
         if r:
             words = jnp.concatenate(
@@ -441,7 +448,9 @@ def shard_reads(mesh: Mesh, table, n_targets: int, k: int):
             )
         words = jax.device_put(words, rows)
         vwords = jax.device_put(vwords, rows)
-        return _jfn(extended)(slots_d, lab_d, sk_d, sl_d, words, vwords)
+        return _jfn(extended, probe_cols)(
+            slots_d, lab_d, sk_d, sl_d, words, vwords
+        )
 
     return (slots_d, lab_d), batch_fn
 
@@ -480,12 +489,15 @@ def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
 
     jfns = {}
 
-    def _jfn(extended: bool):
-        if extended in jfns:
-            return jfns[extended]
+    def _jfn(extended, probe_cols):
+        key = (extended, probe_cols)
+        if key in jfns:
+            return jfns[key]
 
         def f(slots_blk, sk, sl, words, vwords):
-            canon, valid = device_pipeline.window_canonicals(words, vwords, k)
+            canon, valid = device_pipeline.window_canonicals(
+                words, vwords, k, probe_cols
+            )
             q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
             d = jax.lax.axis_index(axis_db)
             lab = radix_table.probe_chunk(
@@ -512,7 +524,7 @@ def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
             total, ib, b_, isb, sb = score.read_results(counts)
             return total, ib, b_, sb, counts
 
-        jfns[extended] = jax.jit(
+        jfns[key] = jax.jit(
             shard_map(
                 f,
                 mesh,
@@ -522,9 +534,9 @@ def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
                            P(axis_dp, None)),
             )
         )
-        return jfns[extended]
+        return jfns[key]
 
-    def batch_fn(words, vwords, extended=True):
+    def batch_fn(words, vwords, extended=True, probe_cols=None):
         r = (-words.shape[0]) % ndp
         if r:
             words = jnp.concatenate(
@@ -535,7 +547,7 @@ def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
             )
         words = jax.device_put(words, rows_in)
         vwords = jax.device_put(vwords, rows_in)
-        return _jfn(extended)(slots_d, sk_d, sl_d, words, vwords)
+        return _jfn(extended, probe_cols)(slots_d, sk_d, sl_d, words, vwords)
 
     return (slots_d,), batch_fn
 
