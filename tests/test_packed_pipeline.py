@@ -250,3 +250,31 @@ def test_cycle_outer_cap_fallback(setup, tmp_path, monkeypatch, capsys):
     assert "cycle-outer scheduling skipped" in capsys.readouterr().err
     for (o, _p, r), want in zip(items2, outs):
         assert open(r + ".csv", "rb").read() == want
+
+
+def test_probe_cols_trim_engages(setup, tmp_path):
+    """The engine must pass a trimmed probed-width for padded tiers (the
+    1.42x device win of round 4) — byte-equality tests cannot catch a
+    silent revert to full-width probing, so spy on batch_fn."""
+    tmp_path2, prof, targets, fa = setup
+    clf = Classifier.load(
+        str(tmp_path2), targets, prof, K,
+        plan=BatchPlan(max_reads=64, window_budget=1 << 13),
+    )
+    seen = []
+    orig = clf.batch_fn
+
+    def spy(words, vwords, extended=True, probe_cols=None):
+        seen.append((words.shape[1], probe_cols))
+        return orig(words, vwords, extended=extended, probe_cols=probe_cols)
+
+    clf.batch_fn = spy
+    # 100-char reads quantize to stride 128: full width 128-K+1, trimmed
+    # width ladder(100-K+1) = 96 (K=9)
+    reads = "".join(f">t{i}\n{'ACGT' * 25}\n" for i in range(20)).encode()
+    list(clf.classify_bytes(reads)[0])
+    assert seen, "batch_fn never called"
+    for wshape, pc in seen:
+        stride = (wshape - 1) * 32
+        assert pc is not None and pc <= stride - K + 1
+        assert pc == -(-(100 - K + 1) // 32) * 32  # ladder of true max len
