@@ -45,6 +45,7 @@ from .io.targets import TargetsDef, parse_targets
 from .kmer import canonical_u64, window_values_le
 from .ops import device_pipeline, lookup, pack, radix_table, score
 from .params import NBN, Profile
+from .utils.fetch import hedged_device_get
 from .utils.profiling import maybe_phase
 
 
@@ -1034,12 +1035,20 @@ class Classifier:
             and os.environ.get("CLARK_TPU_PREFETCH_CHUNKS", "1") != "0"
         )
         pre: dict = {"j": None, "thread": None, "out": None}
+        # the current pass's device arrays live in this cell, NOT in the
+        # returned closure: end_pass clears it so chunk j's HBM is released
+        # before begin_pass(j+1) starts the j+2 upload — otherwise the
+        # prior pass's closure (still bound by the caller) would pin a
+        # third chunk and the transient peak would be ~1.5x the two-chunk
+        # budget auto_db_cycles plans for
+        cur: dict = {"arrs": None}
 
         def begin_pass(j):
             if pre["thread"] is not None and pre["j"] == j:
                 pre["thread"].join()
                 status, arrs = pre["out"]
                 pre["thread"] = None
+                pre["out"] = None
                 if status == "err":
                     raise arrs
             else:
@@ -1055,10 +1064,11 @@ class Classifier:
                 pre["j"] = j + 1
                 pre["thread"] = threading.Thread(target=work, daemon=True)
                 pre["thread"].start()
-            slots, lab, start, use_stash = arrs
+            cur["arrs"] = arrs
 
             if strategy == "labels":
                 def fn(words, vwords, probe_cols=None):
+                    slots, lab, start, use_stash = cur["arrs"]
                     return classify_batch_labels_chunk(
                         slots, lab, sk, sl, words, vwords, start,
                         use_stash, k=k, narrow=narrow,
@@ -1066,6 +1076,7 @@ class Classifier:
                     )
             else:
                 def fn(words, vwords, probe_cols=None):
+                    slots, lab, start, use_stash = cur["arrs"]
                     return classify_batch_counts_chunk(
                         slots, lab, sk, sl, words, vwords, start,
                         use_stash, k=k, n_targets=self.n_targets,
@@ -1075,7 +1086,7 @@ class Classifier:
             return fn
 
         def end_pass():
-            pass
+            cur["arrs"] = None
 
         return n_passes, begin_pass, end_pass
 
@@ -1101,7 +1112,7 @@ class Classifier:
         def fetch(item):
             bi, out = item
             with maybe_phase("device_wait"):
-                return bi, np.asarray(out)
+                return bi, np.asarray(hedged_device_get(out))
 
         fw = int(os.environ.get("CLARK_TPU_FETCH_WORKERS", "2"))
         entries = self._pipelined(enumerate(packed_batches), dispatch)
@@ -1143,7 +1154,7 @@ class Classifier:
                 lab_all = parts[0] if len(parts) == 1 else np.concatenate(
                     parts, axis=1
                 )
-                total, ib1, best, sb, counts = jax.device_get(
+                total, ib1, best, sb, counts = hedged_device_get(
                     score_from_labels(
                         jnp.asarray(lab_all),
                         n_targets=self.n_targets, extended=extended,
@@ -1267,7 +1278,7 @@ class Classifier:
             # ONE device_get round trip for the whole group (see
             # _classify_native_fileorder for the measured rationale)
             with maybe_phase("device_wait"):
-                fetched = jax.device_get(
+                fetched = hedged_device_get(
                     [
                         (total, ib, b, sb) + ((counts,) if extended else ())
                         for _, (total, ib, b, sb, counts) in group
@@ -1403,7 +1414,7 @@ class Classifier:
             # 180 -> 139 ms/batch for merging a batch's arrays, then
             # 202k -> 262-287k reads/s for grouping batches)
             with maybe_phase("device_wait"):
-                fetched = jax.device_get(
+                fetched = hedged_device_get(
                     [
                         (total, ib, b, sb) + ((counts,) if extended else ())
                         for _, (total, ib, b, sb, counts) in group
@@ -1737,7 +1748,7 @@ class Classifier:
 
         def fetch(entry):
             meta, (total, ib, b, sb, counts) = entry
-            fetched = jax.device_get(
+            fetched = hedged_device_get(
                 (total, ib, b, sb) + ((counts,) if extended else ())
             )
             nb = len(meta[4])
@@ -1815,7 +1826,7 @@ class Classifier:
         def fetch(entry):
             (r0, r1), (total, ib, b, sb, counts) = entry
             # one round trip (see _classify_native.fetch)
-            fetched = jax.device_get(
+            fetched = hedged_device_get(
                 (total, ib, b, sb) + ((counts,) if extended else ())
             )
             counts_h = fetched[4] if extended else None
@@ -1826,7 +1837,9 @@ class Classifier:
             entries, fetch, depth=2
         ):
             if hit_stats is not None and extended:
-                hit_stats.update_counts(counts_h)
+                # slice off pad rows (r1-r0 < r_cap tiers / dp mesh padding):
+                # a zero-hit pad row would count as a read and drag MIN to 0
+                hit_stats.update_counts(counts_h[: r1 - r0])
             for i in range(r1 - r0):
                 g = r0 + i
                 yield _format_row(
@@ -1880,7 +1893,7 @@ class Classifier:
                 self.keys, self.labels1, jnp.asarray(q), jnp.asarray(qr)
             )
             nb = r1 - r0
-            fetched = jax.device_get(
+            fetched = hedged_device_get(
                 (total, ib, b, sb) + ((counts,) if extended else ())
             )
             total, ib, b, sb = (a[:nb] for a in fetched[:4])

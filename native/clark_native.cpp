@@ -946,7 +946,9 @@ int32_t serialize_db_parts(const uint64_t* canon, const uint16_t* labels,
     kl[cur[r >> pshift]++] = {(r << shift) | q, labels[i]};
   }
   const uint64_t qmask = ((uint64_t)1 << shift) - 1;
-  volatile int overflow = 0;
+  // written concurrently (same value) from the partition loop; atomic write
+  // keeps it a defined program rather than a benign-looking data race
+  int overflow = 0;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)
 #endif
@@ -962,6 +964,9 @@ int32_t serialize_db_parts(const uint64_t* canon, const uint16_t* labels,
       if (i == 0 || r != prev_r) {
         if (i > 0) {
           if (run > 255) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
             overflow = 1;
             break;
           }
@@ -981,8 +986,14 @@ int32_t serialize_db_parts(const uint64_t* canon, const uint16_t* labels,
       }
     }
     if (m > 0) {
-      if (run > 255) overflow = 1;
-      else sizes[prev_r] = (uint8_t)run;
+      if (run > 255) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+        overflow = 1;
+      } else {
+        sizes[prev_r] = (uint8_t)run;
+      }
     }
   }
   return overflow ? -1 : 0;
