@@ -1,0 +1,233 @@
+"""Dense two-choice table A/B (VERDICT r4 item 2 done-criteria).
+
+Two measurements, both with the carry-perturbed chain method (the only
+timing that survives the remote relay — docs/ROOFLINE.md §3.66):
+
+1. PROBE COST: standard single-gather probe vs dense two-gather probe,
+   both resident, at a mid-scale DB (both fit HBM) — the per-step cost
+   table for ROOFLINE.  Expectation from §3.64: plane 2 is tiny (sits on
+   the fast side of the footprint cliff), so the second gather costs a
+   fraction of the first, not 2x.
+
+2. RESIDENT-DENSE vs CYCLED at a >=500M-key synthetic DB whose STANDARD
+   table exceeds the 16 GB v5e budget (the regime the layout exists
+   for): dense = one upload + probe steps; cycled = per-pass chunk
+   re-upload + probe steps.  Reports per-pass walls and the throughput
+   ratio.  The reference would cycle here (CuClarkDB.cu:526-565).
+
+Run:  PYTHONPATH=/root/repo python benchmarks/dense_ab.py
+Env:  DENSE_AB_SMALL=1 for a CPU-smoke-sized run;
+      DENSE_AB_PART=probe|cycle|all (default all).
+Prints one JSON line per part.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _chain_probe(probe_fn, qbase, k):
+    """Serially-dependent probe chain: iteration j+1's queries depend on
+    iteration j's labels, so the runtime cannot overlap/elide steps."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(q, n):
+        def body(_, carry):
+            lab = probe_fn(q ^ carry.astype(jnp.uint64))
+            return (carry + lab) & jnp.int32(255)
+
+        return jax.lax.fori_loop(
+            0, n, body, jnp.zeros(q.shape, jnp.int32)
+        )
+
+    def timed(n):
+        jax.device_get(chain(qbase, n)[:4])  # compile + sync
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(chain(qbase, n)[:4])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k0 = max(k // 5, 1)
+    return (timed(k) - timed(k0)) / (k - k0)
+
+
+def part_probe(small):
+    """Standard vs dense probe cost, both resident."""
+    import jax
+    import jax.numpy as jnp
+
+    from jn_cuclark_tpu.ops import radix_table as rt
+
+    n = 1 << 20 if small else 220_000_000
+    q_n = 1 << 16 if small else 1 << 22
+    chain_k = 5 if small else 10
+    rng = np.random.default_rng(0)
+    keys = rng.integers(1, 1 << 62, size=n, dtype=np.uint64)
+    labels1 = rng.integers(1, 5000, size=n).astype(np.int32)
+    t0 = time.time()
+    std = rt.build(keys, labels1)
+    t_std = time.time() - t0
+    t0 = time.time()
+    dn = rt.build_dense(keys, labels1)
+    t_dn = time.time() - t0
+    out = {
+        "part": "probe", "n_keys": n,
+        "std": {"m1": std.m1, "gb": round(std.nbytes / 1e9, 2),
+                "build_s": round(t_std, 1)},
+        "dense": {"m1": dn.m1, "m2": dn.m2,
+                  "gb": round(dn.nbytes / 1e9, 2),
+                  "build_s": round(t_dn, 1)},
+    }
+    qb = jnp.asarray(rng.integers(1, 1 << 62, size=q_n, dtype=np.uint64))
+
+    s_slots = jax.device_put(std.slots)
+    s_sk = jax.device_put(std.stash_keys)
+    s_sl = jax.device_put(std.stash_labels)
+    meta = std.meta
+
+    def p_std(q):
+        return rt.probe(s_slots, None, s_sk, s_sl, q, **meta)
+
+    per_std = _chain_probe(p_std, qb, chain_k)
+    out["std"]["ms_per_step"] = round(per_std * 1e3, 2)
+    out["std"]["mprobes_s"] = round(q_n / per_std / 1e6, 1)
+    del s_slots
+
+    d_slots1 = jax.device_put(dn.slots1)
+    d_slots2 = jax.device_put(dn.slots2)
+    d_sk = jax.device_put(dn.stash_keys)
+    d_sl = jax.device_put(dn.stash_labels)
+    dmeta = dn.meta
+
+    def p_dn(q):
+        return rt.probe_dense(d_slots1, d_slots2, d_sk, d_sl, q, **dmeta)
+
+    per_dn = _chain_probe(p_dn, qb, chain_k)
+    out["dense"]["ms_per_step"] = round(per_dn * 1e3, 2)
+    out["dense"]["mprobes_s"] = round(q_n / per_dn / 1e6, 1)
+    out["dense_cost_ratio"] = round(per_dn / per_std, 3)
+    print(json.dumps(out), flush=True)
+
+
+def part_cycle(small):
+    """Resident-dense vs cycled-standard at a DB whose standard table
+    exceeds the device budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from jn_cuclark_tpu.ops import radix_table as rt
+
+    n = 1 << 20 if small else 800_000_000
+    q_n = 1 << 16 if small else 1 << 22
+    chain_k = 5 if small else 10
+    n_chunks = 3
+    rng = np.random.default_rng(1)
+    keys = rng.integers(1, 1 << 62, size=n, dtype=np.uint64)
+    labels1 = rng.integers(1, 5000, size=n).astype(np.int32)
+    t0 = time.time()
+    dn = rt.build_dense(keys, labels1)
+    build_dn = time.time() - t0
+    t0 = time.time()
+    std = rt.build(keys, labels1)
+    build_std = time.time() - t0
+    del keys, labels1
+    chunks = rt.chunk_table(std, n_chunks)
+    out = {
+        "part": "cycle", "n_keys": n, "n_chunks": n_chunks,
+        "std_gb": round(std.nbytes / 1e9, 2),
+        "dense_gb": round(dn.nbytes / 1e9, 2),
+        "std_build_s": round(build_std, 1),
+        "dense_build_s": round(build_dn, 1),
+    }
+    qb = jnp.asarray(rng.integers(1, 1 << 62, size=q_n, dtype=np.uint64))
+
+    # dense: one upload, then steady-state probe steps
+    t0 = time.time()
+    d1 = jax.device_put(dn.slots1)
+    d2 = jax.device_put(dn.slots2)
+    dk = jax.device_put(dn.stash_keys)
+    dl = jax.device_put(dn.stash_labels)
+    jax.block_until_ready(d1)
+    jax.device_get(dk[:1])
+    up_dense = time.time() - t0
+    dmeta = dn.meta
+
+    def p_dn(q):
+        return rt.probe_dense(d1, d2, dk, dl, q, **dmeta)
+
+    per_dense = _chain_probe(p_dn, qb, chain_k)
+    del d1, d2
+    out["dense_upload_s"] = round(up_dense, 1)
+    out["dense_ms_per_step"] = round(per_dense * 1e3, 2)
+
+    # cycled: each pass re-uploads its chunk, then runs the same steps.
+    # B batch-steps per pass amortize the upload the way the engine's
+    # pipeline does within one sample window.
+    B = 4
+    sk = jax.device_put(std.stash_keys)
+    sl = jax.device_put(std.stash_labels)
+    meta = std.meta
+    pass_walls = []
+    per_chunk_probe = []
+    for ch in chunks:
+        t0 = time.time()
+        blk = jax.device_put(ch["slots"])
+        jax.block_until_ready(blk)
+        jax.device_get(sk[:1])
+        up = time.time() - t0
+        start = jnp.int32(ch["start_row"])
+        use = jnp.bool_(ch["use_stash"])
+
+        def p_ch(q, blk=blk, start=start, use=use):
+            return rt.probe_chunk(
+                blk, None, sk, sl, q, start, use_stash=use, **meta
+            )
+
+        per = _chain_probe(p_ch, qb, chain_k)
+        per_chunk_probe.append(per)
+        pass_walls.append(up + B * per)
+        del blk
+    out["cycled_upload_s_per_pass"] = [
+        round(w - B * p, 1) for w, p in zip(pass_walls, per_chunk_probe)
+    ]
+    out["cycled_ms_per_step"] = [
+        round(p * 1e3, 2) for p in per_chunk_probe
+    ]
+    # throughput over one full workload window of B batch-steps:
+    # dense = B steps; cycled = sum over chunks of (upload + B steps)
+    dense_wall = B * per_dense
+    cycled_wall = sum(pass_walls)
+    out["B_steps_per_pass"] = B
+    out["dense_window_s"] = round(dense_wall, 2)
+    out["cycled_window_s"] = round(cycled_wall, 2)
+    out["dense_over_cycled"] = round(cycled_wall / dense_wall, 1)
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    small = os.environ.get("DENSE_AB_SMALL") == "1"
+    part = os.environ.get("DENSE_AB_PART", "all")
+    if part in ("probe", "all"):
+        part_probe(small)
+    if part in ("cycle", "all"):
+        part_cycle(small)
+
+
+if __name__ == "__main__":
+    main()

@@ -275,6 +275,8 @@ class HitStats:
 class Classifier:
     """Single- or multi-device CLARK classifier over a loaded database."""
 
+    dense_table = None  # set when the dense two-choice residency engages
+
     def __init__(
         self,
         profile: Profile,
@@ -377,6 +379,27 @@ class Classifier:
                         f"{db_cycles} cycles.",
                         file=sys.stderr,
                     )
+            # dense two-choice residency (VERDICT r4 item 2): a DB between
+            # 1x and ~2x the budget stays RESIDENT in the load-0.9 dense
+            # layout (two gathers/probe, radix_table block comment) instead
+            # of cycling (re-streaming the table every pass).  CLARK_TPU_DENSE:
+            # auto (default) / 0 (never) / force (even when standard fits).
+            dense_env = os.environ.get("CLARK_TPU_DENSE", "auto")
+            want_dense = dense_env == "force" or (
+                dense_env not in ("0", "off")
+                and auto_cycles
+                and db_cycles > 1
+                and mesh is None
+            )
+            if want_dense and mesh is None:
+                dense = self._try_dense(
+                    canonical, labels, table, index_cache, index_sig,
+                    budget if auto_cycles else None,
+                    forced=dense_env == "force",
+                )
+                if dense is not None:
+                    self.db_cycles = db_cycles = 1
+                    return  # batch_fn installed by _try_dense
             if db_cycles > 1:
                 # out-of-core: keep chunks host-side, stream per cycle
                 if mesh is not None:
@@ -440,6 +463,90 @@ class Classifier:
                     n_targets=self.n_targets,
                     max_reads=self.plan.max_reads,
                 )
+
+    def _try_dense(
+        self, canonical, labels, table, index_cache, index_sig, budget,
+        forced=False,
+    ):
+        """Attempt the dense two-choice residency (see __init__): returns
+        the DenseTable and installs batch_fn, or None when it would not
+        fit the budget either (fall back to cycling)."""
+        import sys
+
+        from .ops.radix_table import (
+            EMPTY,
+            build_dense,
+            dense_nbytes,
+            load_dense_cache,
+            recover_keys,
+            save_dense_cache,
+        )
+
+        n_keys = len(canonical)
+        if n_keys == 0:
+            # table came from the .idx cache: load() passes empty key
+            # arrays then; the exact count is the table's occupancy
+            n_keys = int((table.slots != EMPTY).sum()) + int(
+                (table.stash_keys != EMPTY).sum()
+            )
+        if budget is not None:
+            # the second plane's row gather adds one [Q, C] transient
+            from .utils.memory import probe_transient_bytes
+
+            extra = probe_transient_bytes(
+                self.plan.window_budget, table.slot_width
+            ) - self.plan.window_budget * 8 * 6
+            predicted = dense_nbytes(
+                n_keys, self.n_targets, c=table.slot_width
+            )
+            if predicted + extra > budget:
+                return None
+        dense_cache = index_cache + ".dense" if index_cache else None
+        dense = None
+        if dense_cache is not None and os.path.exists(dense_cache):
+            dense = load_dense_cache(dense_cache, signature=index_sig)
+        if dense is None:
+            if len(canonical):
+                keys = np.asarray(canonical, dtype=np.uint64)
+                labs1 = np.asarray(labels, dtype=np.int32) + 1
+            else:
+                # recover the exact key/label set from the standard table
+                # (bijective slot layout — radix_table.recover_keys)
+                keys, labs1 = recover_keys(table)
+            dense = build_dense(keys, labs1, c=table.slot_width)
+            if dense_cache is not None:
+                try:
+                    save_dense_cache(dense_cache, dense,
+                                     signature=index_sig)
+                except OSError:
+                    pass
+        if budget is not None and dense.nbytes + extra > budget:
+            return None  # prediction was off; cycle instead
+        if not forced:
+            print(
+                f"Database ({table.nbytes >> 20} MB standard) fits "
+                f"resident in the dense two-choice layout "
+                f"({dense.nbytes >> 20} MB): probing dense instead of "
+                f"cycling.",
+                file=sys.stderr,
+            )
+        self.table_meta = dense.meta
+        slots1 = jax.device_put(dense.slots1)
+        slots2 = jax.device_put(dense.slots2)
+        stash_k = jax.device_put(dense.stash_keys)
+        stash_l = jax.device_put(dense.stash_labels)
+        meta = self.table_meta
+
+        def batch_fn(words, vwords, extended=True, probe_cols=None):
+            return device_pipeline.classify_batch_dense(
+                slots1, slots2, stash_k, stash_l, words, vwords,
+                k=self.k, n_targets=self.n_targets, extended=extended,
+                probe_cols=probe_cols, **meta,
+            )
+
+        self.batch_fn = batch_fn
+        self.dense_table = dense
+        return dense
 
     # ------------------------------------------------------------------ load
     @classmethod

@@ -164,6 +164,30 @@ def score_from_labels(lab, *, n_targets, extended):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "m1", "m2", "lb", "c", "n_targets", "extended",
+                     "probe_cols"),
+)
+def classify_batch_dense(
+    slots1, slots2, stash_keys, stash_labels, words, vwords,
+    *, k, m1, m2, lb, c, n_targets, extended=True, probe_cols=None,
+):
+    """classify_batch against the two-choice DENSE table (radix_table
+    block comment): identical semantics, two row gathers per probe (the
+    second against the tiny overflow plane).  Used when the standard
+    table exceeds the device budget but the dense one fits resident —
+    the reference would start cycling here (CuClarkDB.cu:526-565)."""
+    canon, valid = window_canonicals(words, vwords, k, probe_cols)
+    q = jnp.where(valid, canon, radix_table.EMPTY).ravel()
+    lab = radix_table.probe_dense(
+        slots1, slots2, stash_keys, stash_labels, q,
+        m1=m1, m2=m2, lb=lb, c=c,
+    )
+    lab = jnp.where(valid.ravel(), lab, 0).reshape(valid.shape)
+    return score_from_labels(lab, n_targets=n_targets, extended=extended)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "m1", "lb", "c", "n_targets", "extended",
                      "probe_cols"),
 )

@@ -43,12 +43,13 @@ import numpy as np
 
 EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio, odd
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash64 prime_2, odd -> bijective
 STASH_CAP = 64
 
 
-def _mix_np(q: np.ndarray, mbits: int) -> np.ndarray:
+def _mix_np(q: np.ndarray, mbits: int, mult: np.uint64 = _MIX1) -> np.ndarray:
     with np.errstate(over="ignore"):
-        return ((q * _MIX1) >> np.uint64(64 - mbits)).astype(np.int64)
+        return ((q * mult) >> np.uint64(64 - mbits)).astype(np.int64)
 
 
 @dataclasses.dataclass
@@ -96,11 +97,11 @@ class TablePlan:
         return dict(m1=self.m1, lb=self.lb, c=self.c)
 
 
-def _bucket_ranks(keys: np.ndarray, mbits: int):
+def _bucket_ranks(keys: np.ndarray, mbits: int, mult: np.uint64 = _MIX1):
     """Per-key (bucket, within-bucket rank) in original key order; rank
     follows the stable sort by bucket, so overflow selection is
     deterministic."""
-    b = _mix_np(keys, mbits)
+    b = _mix_np(keys, mbits, mult)
     order = np.argsort(b, kind="stable")
     bs = b[order]
     start_of_run = np.concatenate([[True], bs[1:] != bs[:-1]])
@@ -402,6 +403,239 @@ def probe_chunk(
         return jnp.maximum(lab, slab)
 
     return _chunked_q(one, q)
+
+
+# --------------------------------------------------------------- dense table
+#
+# Two-choice ("cuckoo-style") dense layout for DBs between 1x and 2x the
+# device budget (VERDICT r4 item 2).  The standard table targets load 0.69
+# so the binomial overflow tail fits the 64-entry stash with ONE bucket
+# choice; pushing occupancy to ~0.9 halves the row count (one m1 bit) but
+# overflows ~0.5% of keys — far past any stash.  Those spill into a SECOND
+# tiny plane keyed by an independent bijective mix (_MIX2), probed with a
+# second row gather.  Plane 2 is ~1/64 the bytes of plane 1, so it sits in
+# the fast small-footprint gather regime (docs/ROOFLINE.md §3.64: 400M
+# rows/s under ~a few hundred MB vs 94M above) — the measured cost of the
+# second gather is a fraction of the first, not 2x.
+#
+# Within each plane the quotient trick holds unchanged (per-plane mix is a
+# bijection, the plane's bucket index supplies the top m-bits), so both
+# probes stay exact with zero false hits; a key lives in exactly one plane
+# (or the stash), so max(lab1, lab2, stash) is the unique answer.
+#
+# This buys the reference's any-size-DB guarantee (CuClarkDB.cu:526-565,
+# parts/cycles on any GPU) a better point on the curve: a DB that would
+# cycle (re-streaming the table every pass) instead stays RESIDENT at
+# ~2 gathers/probe.  Cycling remains for DBs past ~2x budget.
+
+
+@dataclasses.dataclass
+class DenseTable:
+    """Two-plane dense build result; arrays ready for jax.device_put."""
+
+    slots1: np.ndarray  # [2^m1, C] uint64 plane 1 (load ~0.9)
+    slots2: np.ndarray  # [2^m2, C] uint64 plane 2 (plane-1 overflow)
+    stash_keys: np.ndarray  # [STASH_CAP] uint64 (EMPTY padded)
+    stash_labels: np.ndarray  # [STASH_CAP] int32 label+1
+    m1: int
+    m2: int
+    lb: int
+    slot_width: int
+
+    @property
+    def nbytes(self) -> int:
+        return self.slots1.nbytes + self.slots2.nbytes
+
+    @property
+    def meta(self) -> dict:
+        return dict(m1=self.m1, m2=self.m2, lb=self.lb, c=self.slot_width)
+
+
+_MIX1_INV = np.uint64(pow(int(_MIX1), -1, 1 << 64))  # mix is odd -> invertible
+
+
+def recover_keys(table: RadixTable):
+    """(keys, labels1) recovered EXACTLY from a built standard table.
+
+    The slot layout is information-preserving: slot = (qlow << lb) | label1
+    with qlow the low 64-m1 bits of key * _MIX1 and the bucket row the top
+    m1 bits, and the odd multiplier is invertible mod 2^64 — so a table
+    loaded from the .idx cache can seed a dense rebuild without re-reading
+    the DB files."""
+    slots = table.slots
+    mask = slots != EMPTY
+    rows, _ = np.nonzero(mask)
+    vals = slots[mask]
+    lab = (vals & np.uint64((1 << table.lb) - 1)).astype(np.int32)
+    qlow = vals >> np.uint64(table.lb)
+    mixed = (rows.astype(np.uint64) << np.uint64(64 - table.m1)) | qlow
+    with np.errstate(over="ignore"):
+        keys = mixed * _MIX1_INV
+    smask = table.stash_keys != EMPTY
+    keys = np.concatenate([keys, table.stash_keys[smask]])
+    lab = np.concatenate([lab, table.stash_labels[smask].astype(np.int32)])
+    return keys, lab
+
+
+def _fill_plane(keys, labels1, bucket, rank, m, c, lb, mult):
+    """[2^m, c] slot plane for the keys with rank < c (quotient = low
+    64-m bits of this plane's mix)."""
+    sel = rank < c
+    bb = bucket[sel]
+    rr = rank[sel]
+    with np.errstate(over="ignore"):
+        mixed = keys[sel] * mult
+    qlow = mixed & np.uint64((1 << (64 - m)) - 1)
+    lo = labels1[sel].astype(np.uint64)
+    slots = np.full((1 << m, c), EMPTY, dtype=np.uint64)
+    slots[bb, rr] = (qlow << np.uint64(lb)) | lo
+    return slots
+
+
+def build_dense(
+    keys: np.ndarray,
+    labels1: np.ndarray,
+    c: int | None = None,
+    load: float = 0.90,
+) -> DenseTable:
+    """Build the two-choice dense table (see block comment above)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    labels1 = np.asarray(labels1, dtype=np.int32)
+    n = max(len(keys), 1)
+    if c is None:
+        c = 128 if n >= 500_000 else 16
+    maxlab = int(labels1.max()) if len(labels1) else 1
+    lb = max(int(np.ceil(np.log2(maxlab + 2))), 2)
+    m1 = max(int(np.ceil(np.log2(max(n / (load * c), 1.0)))), 1, lb + 1)
+    b1, r1 = _bucket_ranks(keys, m1, _MIX1)
+    slots1 = _fill_plane(keys, labels1, b1, r1, m1, c, lb, _MIX1)
+    ovf = r1 >= c
+    k2, l2 = keys[ovf], labels1[ovf]
+    n2 = max(len(k2), 1)
+    m2 = max(int(np.ceil(np.log2(max(n2 / (0.69 * c), 1.0)))), 1, lb + 1)
+    while True:
+        b2, r2 = _bucket_ranks(k2, m2, _MIX2)
+        n_ovf2 = int((r2 >= c).sum())
+        if n_ovf2 <= STASH_CAP:
+            break
+        m2 += 1
+    slots2 = _fill_plane(k2, l2, b2, r2, m2, c, lb, _MIX2)
+    sk = np.full(STASH_CAP, EMPTY, dtype=np.uint64)
+    sl = np.zeros(STASH_CAP, dtype=np.int32)
+    if n_ovf2:
+        sel = r2 >= c
+        sk[:n_ovf2] = k2[sel]
+        sl[:n_ovf2] = l2[sel]
+    return DenseTable(
+        slots1=slots1, slots2=slots2, stash_keys=sk, stash_labels=sl,
+        m1=m1, m2=m2, lb=lb, slot_width=c,
+    )
+
+
+def dense_nbytes(n_keys: int, n_targets: int, c: int = 128,
+                 load: float = 0.90) -> int:
+    """Predicted dense-table HBM bytes WITHOUT building it (plane 1 exactly;
+    plane 2 estimated from the binomial spill at `load` + pow2 rounding) —
+    lets the residency policy decide dense-vs-cycle before paying a build."""
+    n = max(n_keys, 1)
+    lb = max(int(np.ceil(np.log2(n_targets + 2))), 2)
+    m1 = max(int(np.ceil(np.log2(max(n / (load * c), 1.0)))), 1, lb + 1)
+    # Poisson spill estimate: mean a = n / 2^m1 per bucket, sigma = sqrt(a);
+    # E[(X - c)+] ~ sigma * (phi(z) - z * (1 - Phi(z))), z = (c - a) / sigma.
+    # A 2x safety factor absorbs the approximation (plane 2 is tiny anyway).
+    import math
+
+    a = n / (1 << m1)
+    sig = max(math.sqrt(a), 1.0)
+    z = (c - a) / sig
+    phi = math.exp(-z * z / 2) / math.sqrt(2 * math.pi)
+    bigphi = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+    spill = max(sig * (phi - z * (1 - bigphi)) * (1 << m1) * 2, 1.0)
+    m2 = max(int(np.ceil(np.log2(max(spill / (0.69 * c), 1.0)))), 1, lb + 1)
+    return ((1 << m1) + (1 << m2)) * c * 8
+
+
+def probe_dense(
+    slots1, slots2, stash_keys, stash_labels, q, *,
+    m1: int, m2: int, lb: int, c: int,
+):
+    """Device-side dense lookup: label+1 per query, 0 on miss."""
+    import jax.numpy as jnp
+
+    del c
+
+    def one(qq):
+        x1 = qq * jnp.uint64(_MIX1)
+        b1 = (x1 >> jnp.uint64(64 - m1)).astype(jnp.int32)
+        lab1 = _probe_rows(
+            slots1, x1 & jnp.uint64((1 << (64 - m1)) - 1), b1, lb
+        )
+        x2 = qq * jnp.uint64(_MIX2)
+        b2 = (x2 >> jnp.uint64(64 - m2)).astype(jnp.int32)
+        lab2 = _probe_rows(
+            slots2, x2 & jnp.uint64((1 << (64 - m2)) - 1), b2, lb
+        )
+        slab = _stash_lookup(stash_keys, stash_labels, qq)
+        return jnp.maximum(jnp.maximum(lab1, lab2), slab)
+
+    return _chunked_q(one, q)
+
+
+_DENSE_CACHE_VERSION = 1
+
+
+def save_dense_cache(path: str, table: DenseTable,
+                     signature: np.ndarray | None = None):
+    """Atomic persist of a dense build (same contract as save_cache)."""
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                version=_DENSE_CACHE_VERSION,
+                slots1=table.slots1,
+                slots2=table.slots2,
+                stash_keys=table.stash_keys,
+                stash_labels=table.stash_labels,
+                meta=np.array([table.m1, table.m2, table.lb,
+                               table.slot_width]),
+                signature=(
+                    signature
+                    if signature is not None
+                    else np.zeros(3, dtype=np.int64)
+                ),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_dense_cache(path: str,
+                     signature: np.ndarray | None = None) -> DenseTable | None:
+    try:
+        z = np.load(path)
+        if int(z["version"]) != _DENSE_CACHE_VERSION:
+            return None
+        if signature is not None and not np.array_equal(
+            np.asarray(z["signature"]), signature
+        ):
+            return None
+        m1, m2, lb, c = (int(x) for x in z["meta"])
+        return DenseTable(
+            slots1=z["slots1"], slots2=z["slots2"],
+            stash_keys=z["stash_keys"], stash_labels=z["stash_labels"],
+            m1=m1, m2=m2, lb=lb, slot_width=c,
+        )
+    except Exception:  # corrupt/partial cache -> rebuild
+        return None
 
 
 def chunk_table(table: RadixTable, n_chunks: int):

@@ -104,6 +104,10 @@ def test_oversized_table_autocycles_no_flags(db, monkeypatch, capsys):
     monkeypatch.setattr(
         mem, "auto_db_cycles", lambda *a, **kw: (3, 12345 << 20)
     )
+    # pin the CYCLING path: with a 12 GB fake budget the dense two-choice
+    # residency would (correctly) preempt cycling — tested in
+    # test_dense_table.py
+    monkeypatch.setenv("CLARK_TPU_DENSE", "0")
     clf = Classifier.load(str(tmp_path), targets, prof, K, plan=plan)
     assert clf.db_cycles == 3  # chosen automatically, no flags
     got = b"".join(clf.classify_bytes(fa)[0])
