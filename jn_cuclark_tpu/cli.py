@@ -149,14 +149,29 @@ def cmd_db_download_taxonomy(args):
 
 
 def cmd_db_download_genomes(args):
-    """scripts/download/download_data_newest.sh: fetch the latest RefSeq
-    Complete Genome assemblies for a group into <dir>/<Group>/."""
+    """The reference's three genome-download flows
+    (scripts/download/download_data{_newest,_release,}.sh), selected by
+    --flow: newest (assembly_summary latest Complete Genome, the default),
+    release (dated RefSeq release volumes split per sequence), archive
+    (legacy old_refseq tarballs / per-chromosome human)."""
     from . import download
 
     try:
-        manifest = download.download_genomes(
-            args.dir, args.group, base_url=args.base_url, limit=args.limit
-        )
+        if args.flow == "release":
+            base = args.base_url or download.NCBI_RELEASE_BASE
+            manifest = download.download_genomes_release(
+                args.dir, args.group, base_url=base, limit=args.limit
+            )
+        elif args.flow == "archive":
+            base = args.base_url or download.NCBI_GENOMES_BASE
+            manifest = download.download_genomes_archive(
+                args.dir, args.group, base_url=base
+            )
+        else:
+            base = args.base_url or download.NCBI_REFSEQ_BASE
+            manifest = download.download_genomes(
+                args.dir, args.group, base_url=base, limit=args.limit
+            )
     except download.DownloadError as e:
         print(f"Error: {e}")
         return 1
@@ -578,7 +593,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     put.set_defaults(fn=cmd_db_update_taxonomy)
 
-    from .download import NCBI_REFSEQ_BASE, NCBI_TAXONOMY_BASE
+    from .download import NCBI_TAXONOMY_BASE
 
     pdt = dsub.add_parser(
         "download-taxonomy",
@@ -600,11 +615,17 @@ def build_parser() -> argparse.ArgumentParser:
     pdg.add_argument("dir", help="destination directory for the sequences")
     pdg.add_argument("group", help="RefSeq group: bacteria, viruses, archaea, fungi, ...")
     pdg.add_argument(
-        "--base-url", default=NCBI_REFSEQ_BASE,
-        help="RefSeq mirror root (default: NCBI)",
+        "--flow", choices=("newest", "release", "archive"), default="newest",
+        help="newest = latest assemblies (download_data_newest.sh); "
+        "release = dated RefSeq release volumes (download_data_release.sh); "
+        "archive = legacy old_refseq tarballs (download_data.sh)",
+    )
+    pdg.add_argument(
+        "--base-url", default=None,
+        help="mirror root (default: the NCBI root for the chosen flow)",
     )
     pdg.add_argument("--limit", type=int, default=None,
-                     help="cap the number of assemblies (smoke tests)")
+                     help="cap the number of assemblies/volumes (smoke tests)")
     pdg.set_defaults(fn=cmd_db_download_genomes)
 
     pcln = dsub.add_parser("clean", help="remove built DB artifacts (scripts/clean.sh --reset)")

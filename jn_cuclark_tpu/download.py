@@ -4,8 +4,13 @@
   and ``scripts/updateTaxonomy.sh:25-57`` (taxdump + accession2taxid →
   extracted ``*.dmp`` + concatenated ``nucl_accss`` + ``.taxondata`` marker).
 * ``download_genomes``   = ``scripts/download/download_data_newest.sh``
-  (RefSeq ``assembly_summary.txt`` → latest Complete Genome ``*.fna``),
-  which also subsumes ``download_data_release.sh``'s per-group layout.
+  (RefSeq ``assembly_summary.txt`` → latest Complete Genome ``*.fna``).
+* ``download_genomes_release`` = ``scripts/download/download_data_release.sh``
+  (dated RefSeq release: RELEASE_NUMBER + ``<group>.N.genomic.fna.gz``
+  multi-FASTA volumes, split into one ``.fna`` per sequence).
+* ``download_genomes_archive`` = ``scripts/download/download_data.sh``
+  (legacy old_refseq tarballs for bacteria/viruses + per-chromosome
+  human assemblies).
 * ``install_taxonomy``   = the unpack/concatenate half of the above, shared
   with ``clark-tpu db update-taxonomy --from`` for pre-downloaded data.
 
@@ -21,6 +26,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 import shutil
 import tarfile
 import time
@@ -29,6 +35,8 @@ import urllib.request
 
 NCBI_TAXONOMY_BASE = "https://ftp.ncbi.nih.gov/pub/taxonomy"
 NCBI_REFSEQ_BASE = "https://ftp.ncbi.nih.gov/genomes/refseq"
+NCBI_RELEASE_BASE = "https://ftp.ncbi.nih.gov/refseq/release"
+NCBI_GENOMES_BASE = "https://ftp.ncbi.nih.gov/genomes"
 
 #: taxonomy/ payload expected by kent.cpp:178-265 (see cli._TAXONOMY_FILES)
 TAXDUMP_MEMBERS = [
@@ -179,6 +187,216 @@ def parse_assembly_summary(text: str) -> list[str]:
             if ftpdir and ftpdir != "na":
                 urls.append(f"{ftpdir}/{ftpdir.rsplit('/', 1)[-1]}_genomic.fna.gz")
     return urls
+
+
+def _fetch_text(url: str, *, timeout: float = 60.0) -> str:
+    """Small helper for index/metadata files fetched straight to memory."""
+    url = rewrite_ftp(url)
+    with urllib.request.urlopen(
+        urllib.request.Request(url), timeout=timeout
+    ) as resp:
+        return resp.read().decode("utf-8", errors="replace")
+
+
+def _list_dir(url: str, pattern: str) -> list[str]:
+    """Filenames matching ``pattern`` (a regex) in an HTTP directory
+    listing — the wget-wildcard equivalent (``wget <dir>/<glob>``) for the
+    HTTPS mirrors, which serve an HTML index with one href per file."""
+    import re
+
+    html = _fetch_text(url.rstrip("/") + "/")
+    names = set(re.findall(r'href="([^"/?]+)"', html))
+    rx = re.compile(pattern)
+    return sorted(n for n in names if rx.fullmatch(n))
+
+
+def split_genomic_fna(src: str, outdir: str) -> list[str]:
+    """Split a RefSeq release multi-FASTA volume into one ``<accession>.fna``
+    per sequence — download_data_release.sh:41-43's sed+awk exactly:
+
+    * sed strips a leading ``gi|<digits>|ref|<acc>|`` from each header to
+      ``<acc>`` (first occurrence per line);
+    * awk writes each record to ``<first-header-token>.fna`` (appending
+      when the same name repeats).
+    """
+    import re
+
+    gi = re.compile(r"gi\|[0-9]*\|ref\|(\S*)\|")
+    written: list[str] = []
+    seen: set[str] = set()
+    out = None
+    try:
+        with open(src, "r", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                if line.startswith(">"):
+                    hdr = gi.sub(r"\1", line, count=1)
+                    name = hdr[1:].split()[0] if len(hdr) > 1 else ""
+                    path = os.path.join(outdir, f"{name}.fna")
+                    if out is not None:
+                        out.close()
+                    mode = "a" if name in seen else "w"
+                    out = open(path, mode)
+                    if name not in seen:
+                        seen.add(name)
+                        written.append(os.path.abspath(path))
+                    out.write(hdr)
+                elif out is not None:
+                    out.write(line)
+    finally:
+        if out is not None:
+            out.close()
+    return written
+
+
+def download_genomes_release(
+    dest: str, group: str, *, base_url: str = NCBI_RELEASE_BASE, log=print,
+    limit: int | None = None,
+) -> str:
+    """Fetch a dated RefSeq RELEASE for ``group`` into ``dest/<Group>/``
+    and write the ``dest/.<group>`` manifest
+    (download_data_release.sh end-to-end): reads RELEASE_NUMBER, downloads
+    every ``<group>.N.genomic.fna.gz`` volume, gunzips, splits each volume
+    into one ``.fna`` per sequence.  Returns the manifest path."""
+    manifest = os.path.join(dest, f".{group}")
+    if os.path.exists(manifest) and os.path.getsize(manifest) > 0:
+        log(f"'{group}' sequences already in {dest}.")
+        return manifest
+    gdir = os.path.join(dest, _GROUP_DIRS.get(group, group))
+    os.makedirs(gdir, exist_ok=True)
+    base = base_url.rstrip("/")
+    rel_group = _GROUP_REFSEQ.get(group, group)
+    try:
+        relnum = _fetch_text(f"{base}/RELEASE_NUMBER").strip()
+        log(f"RefSeq release {relnum} found.")
+    except (urllib.error.URLError, OSError) as e:
+        raise DownloadError(f"failed to read RELEASE_NUMBER: {e}") from e
+    log(f"Downloading now '{group}' genomes:")
+    try:
+        vols = _list_dir(
+            f"{base}/{rel_group}",
+            rf"{re.escape(rel_group)}\.\d+\.genomic\.fna\.gz",
+        )
+    except (urllib.error.URLError, OSError) as e:
+        raise DownloadError(
+            f"Failed to download '{group}' sequences. Are you sure "
+            f"'{group}' database exists in RefSeq? ({e})") from e
+    if not vols:
+        raise DownloadError(
+            f"Failed to download '{group}' sequences. Are you sure "
+            f"'{group}' database exists in RefSeq?")
+    vols.sort(key=lambda v: int(v.split(".")[1]))
+    if limit is not None:
+        vols = vols[:limit]
+    fnas: list[str] = []
+    for vol in vols:
+        gz = os.path.join(gdir, vol)
+        fna = gz[: -len(".gz")]
+        fetch(f"{base}/{rel_group}/{vol}", gz, log=log)
+        log("Downloading done. Uncompressing files... ")
+        _gunzip(gz, fna)
+        os.remove(gz)
+        log("Creating single file for each genome... ")
+        fnas.extend(split_genomic_fna(fna, gdir))
+        os.remove(fna)
+    if not fnas:
+        raise DownloadError(f"Failed to download '{group}' sequences. ")
+    with open(manifest, "w") as out:
+        out.write("".join(p + "\n" for p in sorted(fnas)))
+        out.write(f"# refseq_release: {relnum}\n")
+    log(f"'{group}' sequences downloaded!")
+    return manifest
+
+
+#: human chromosome directory names, download_data.sh:88-103
+_HUMAN_CHRS = [f"CHR_0{n}" for n in range(1, 10)] + [
+    f"CHR_{n}" for n in range(10, 23)
+] + ["CHR_X", "CHR_Y", "CHR_MT", "CHR_Un"]
+
+
+def download_genomes_archive(
+    dest: str, group: str, *, base_url: str = NCBI_GENOMES_BASE, log=print,
+) -> str:
+    """Legacy NCBI genome archive flow (download_data.sh end-to-end):
+
+    * bacteria — ``archive/old_refseq/Bacteria/all.fna.tar.gz``, untarred;
+    * viruses  — ``Viruses/all.fna.tar.gz`` + ``all.ffn.tar.gz``;
+    * human    — per-chromosome ``hs_ref_GRC*chr*.fa.gz``, gunzipped.
+
+    Writes the same ``dest/.<group>`` manifest of absolute sequence paths.
+    """
+    if group not in ("bacteria", "viruses", "human"):
+        raise DownloadError(
+            f"Failed to recognize parameter: {group}. Please choose "
+            "between: bacteria, viruses, human.")
+    manifest = os.path.join(dest, f".{group}")
+    if os.path.exists(manifest) and os.path.getsize(manifest) > 0:
+        log(f"{group.capitalize()} sequences already in {dest}.")
+        return manifest
+    gdir = os.path.join(dest, _GROUP_DIRS.get(group, group.capitalize()))
+    os.makedirs(gdir, exist_ok=True)
+    base = base_url.rstrip("/")
+    paths: list[str] = []
+    if group == "bacteria":
+        log("Downloading now Bacteria genomes:")
+        tar = os.path.join(gdir, "all.fna.tar.gz")
+        fetch(f"{base}/archive/old_refseq/Bacteria/all.fna.tar.gz", tar,
+              log=log)
+        log("Downloading done. Uncompressing files... ")
+        paths += _untar_seqs(tar, gdir, ".fna")
+        os.remove(tar)
+    elif group == "viruses":
+        log("Downloading now Viruses genomes:")
+        for name in ("all.fna.tar.gz", "all.ffn.tar.gz"):
+            tar = os.path.join(gdir, name)
+            fetch(f"{base}/Viruses/{name}", tar, log=log)
+            log("Downloading done. Uncompressing files... ")
+            paths += _untar_seqs(tar, gdir, ".fna", ".ffn")
+            os.remove(tar)
+    else:
+        log("Downloading now latest Human genome:")
+        for chrdir in _HUMAN_CHRS:
+            try:
+                names = _list_dir(
+                    f"{base}/H_sapiens/{chrdir}",
+                    r"hs_ref_GRC.*chr[0-9XYMTUn]+\.fa\.gz",
+                )
+            except (urllib.error.URLError, OSError) as e:
+                raise DownloadError(
+                    f"Failed to download human sequences. ({e})") from e
+            for name in names:
+                gz = os.path.join(gdir, name)
+                fa = gz[: -len(".gz")]
+                fetch(f"{base}/H_sapiens/{chrdir}/{name}", gz, log=log)
+                _gunzip(gz, fa)
+                os.remove(gz)
+                paths.append(os.path.abspath(fa))
+        log("Downloading done. Uncompressing files... ")
+    if not paths:
+        raise DownloadError(f"Failed to download {group} sequences. ")
+    with open(manifest, "w") as out:
+        out.write("".join(p + "\n" for p in sorted(paths)))
+    log(f"{group.capitalize()} sequences downloaded!")
+    return manifest
+
+
+def _untar_seqs(tar_path: str, outdir: str, *exts: str) -> list[str]:
+    """Extract sequence members (by extension) preserving the tar's
+    relative layout; returns absolute extracted paths (the scripts'
+    ``find `pwd` -name '*.fna'``)."""
+    out: list[str] = []
+    with tarfile.open(tar_path, "r:gz") as t:
+        for m in t.getmembers():
+            if not m.isfile() or not m.name.endswith(exts):
+                continue
+            rel = os.path.normpath(m.name).lstrip("/")
+            if rel.startswith(".."):
+                continue  # refuse path traversal
+            p = os.path.join(outdir, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with t.extractfile(m) as f, open(p, "wb") as g:
+                shutil.copyfileobj(f, g)
+            out.append(os.path.abspath(p))
+    return out
 
 
 #: reference directory names for the two named groups

@@ -268,3 +268,200 @@ def test_download_genomes_limit_and_errors(server, tmp_path):
             str(tmp_path / "other"), "nosuchgroup",
             base_url=f"{server.base}/refseq", log=lambda *a: None,
         )
+
+
+# ---------------------------------------------------------------- release
+
+
+def _index_html(names):
+    return ("<html><body>" + "".join(
+        f'<a href="{n}">{n}</a>\n' for n in names
+    ) + "</body></html>").encode()
+
+
+def test_split_genomic_fna(tmp_path):
+    """download_data_release.sh:41-43 sed+awk parity: gi|..|ref|ACC| headers
+    collapse to ACC; one file per first-header-token; repeats append."""
+    src = tmp_path / "vol.fna"
+    src.write_text(
+        ">gi|123|ref|NC_1.1| Escherichia coli\nACGT\nACGT\n"
+        ">NC_2.2 plain header\nGGGG\n"
+        ">gi|9|ref|NC_1.1| again\nTTTT\n"
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    paths = download.split_genomic_fna(str(src), str(out))
+    assert sorted(os.path.basename(p) for p in paths) == [
+        "NC_1.1.fna", "NC_2.2.fna"
+    ]
+    assert (out / "NC_1.1.fna").read_text() == (
+        ">NC_1.1 Escherichia coli\nACGT\nACGT\n>NC_1.1 again\nTTTT\n"
+    )
+    assert (out / "NC_2.2.fna").read_text() == ">NC_2.2 plain header\nGGGG\n"
+
+
+def test_download_genomes_release_end_to_end(server, tmp_path):
+    """download_data_release.sh: RELEASE_NUMBER + every <group>.N volume →
+    gunzip → split per sequence → .<group> manifest; idempotent."""
+    server.docroot["release/RELEASE_NUMBER"] = b"230\n"
+    vol1 = b">gi|1|ref|NC_A.1| one\nAAAA\n>NC_B.1 two\nCCCC\n"
+    vol2 = b">NC_C.9 three\nGGGG\n"
+    server.docroot["release/bacteria/bacteria.1.genomic.fna.gz"] = (
+        gzip.compress(vol1)
+    )
+    server.docroot["release/bacteria/bacteria.2.genomic.fna.gz"] = (
+        gzip.compress(vol2)
+    )
+    server.docroot["release/bacteria/"] = _index_html([
+        "bacteria.1.genomic.fna.gz", "bacteria.2.genomic.fna.gz",
+        "RELEASE_NUMBER", "notes.txt",
+    ])
+    dest = tmp_path / "seqs"
+    dest.mkdir()
+    manifest = download.download_genomes_release(
+        str(dest), "bacteria", base_url=f"{server.base}/release",
+        log=lambda *a: None,
+    )
+    lines = open(manifest).read().splitlines()
+    paths = [ln for ln in lines if not ln.startswith("#")]
+    assert sorted(os.path.basename(p) for p in paths) == [
+        "NC_A.1.fna", "NC_B.1.fna", "NC_C.9.fna"
+    ]
+    assert any("refseq_release: 230" in ln for ln in lines)
+    assert (dest / "Bacteria" / "NC_A.1.fna").read_text() == (
+        ">NC_A.1 one\nAAAA\n"
+    )
+    # volumes removed after splitting
+    assert not any(
+        f.endswith((".gz", ".genomic.fna"))
+        for f in os.listdir(dest / "Bacteria")
+    )
+    # idempotent re-run
+    server.docroot.clear()
+    assert download.download_genomes_release(
+        str(dest), "bacteria", base_url=f"{server.base}/release",
+        log=lambda *a: None,
+    ) == manifest
+
+
+def test_download_genomes_release_unknown_group(server, tmp_path):
+    server.docroot["release/RELEASE_NUMBER"] = b"230\n"
+    with pytest.raises(DownloadError, match="exists in RefSeq"):
+        download.download_genomes_release(
+            str(tmp_path), "nosuch", base_url=f"{server.base}/release",
+            log=lambda *a: None,
+        )
+
+
+# ---------------------------------------------------------------- archive
+
+
+def _tar_gz(members):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as t:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_download_genomes_archive_bacteria(server, tmp_path):
+    """download_data.sh bacteria: old_refseq all.fna.tar.gz untarred,
+    manifest from the extracted *.fna set."""
+    server.docroot["genomes/archive/old_refseq/Bacteria/all.fna.tar.gz"] = (
+        _tar_gz({
+            "Escherichia_coli/NC_1.fna": b">NC_1\nACGT\n",
+            "Salmonella/NC_2.fna": b">NC_2\nGGGG\n",
+            "Salmonella/readme.txt": b"not a genome",
+        })
+    )
+    dest = tmp_path / "seqs"
+    dest.mkdir()
+    manifest = download.download_genomes_archive(
+        str(dest), "bacteria", base_url=f"{server.base}/genomes",
+        log=lambda *a: None,
+    )
+    paths = open(manifest).read().split()
+    assert sorted(os.path.basename(p) for p in paths) == [
+        "NC_1.fna", "NC_2.fna"
+    ]
+    assert (dest / "Bacteria" / "Escherichia_coli" / "NC_1.fna").exists()
+    assert not (dest / "Bacteria" / "Salmonella" / "readme.txt").exists()
+
+
+def test_download_genomes_archive_viruses_and_human(server, tmp_path):
+    server.docroot["genomes/Viruses/all.fna.tar.gz"] = _tar_gz(
+        {"V1/NC_9.fna": b">NC_9\nAC\n"}
+    )
+    server.docroot["genomes/Viruses/all.ffn.tar.gz"] = _tar_gz(
+        {"V1/NC_9.ffn": b">NC_9 cds\nAC\n"}
+    )
+    dest = tmp_path / "v"
+    dest.mkdir()
+    manifest = download.download_genomes_archive(
+        str(dest), "viruses", base_url=f"{server.base}/genomes",
+        log=lambda *a: None,
+    )
+    names = sorted(
+        os.path.basename(p) for p in open(manifest).read().split()
+    )
+    assert names == ["NC_9.ffn", "NC_9.fna"]
+
+    # human: per-chromosome listing + gunzip
+    for chrdir, chrom in (("CHR_01", "1"), ("CHR_X", "X")):
+        name = f"hs_ref_GRCh38_chr{chrom}.fa.gz"
+        server.docroot[f"genomes/H_sapiens/{chrdir}/"] = _index_html(
+            [name, "README"]
+        )
+        server.docroot[f"genomes/H_sapiens/{chrdir}/{name}"] = (
+            gzip.compress(f">chr{chrom}\nACGT\n".encode())
+        )
+    for chrdir in download._HUMAN_CHRS:
+        server.docroot.setdefault(
+            f"genomes/H_sapiens/{chrdir}/", _index_html([])
+        )
+    dest2 = tmp_path / "h"
+    dest2.mkdir()
+    manifest = download.download_genomes_archive(
+        str(dest2), "human", base_url=f"{server.base}/genomes",
+        log=lambda *a: None,
+    )
+    names = sorted(
+        os.path.basename(p) for p in open(manifest).read().split()
+    )
+    assert names == [
+        "hs_ref_GRCh38_chr1.fa", "hs_ref_GRCh38_chrX.fa"
+    ]
+    assert (dest2 / "Human" / "hs_ref_GRCh38_chr1.fa").read_text() == (
+        ">chr1\nACGT\n"
+    )
+
+
+def test_download_genomes_archive_bad_group(tmp_path):
+    with pytest.raises(DownloadError, match="choose between"):
+        download.download_genomes_archive(
+            str(tmp_path), "plants", log=lambda *a: None
+        )
+
+
+def test_cli_download_genomes_flows(server, tmp_path, capsys):
+    from jn_cuclark_tpu import cli
+
+    server.docroot["release/RELEASE_NUMBER"] = b"230\n"
+    server.docroot["release/viral/viral.1.genomic.fna.gz"] = gzip.compress(
+        b">NC_V.1 virus\nACGT\n"
+    )
+    server.docroot["release/viral/"] = _index_html(
+        ["viral.1.genomic.fna.gz"]
+    )
+    dest = tmp_path / "seqs"
+    dest.mkdir()
+    rc = cli.main([
+        "db", "download-genomes", str(dest), "viruses",
+        "--flow", "release", "--base-url", f"{server.base}/release",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "(1 sequences)" in out
+    assert (dest / "Viruses" / "NC_V.1.fna").exists()
