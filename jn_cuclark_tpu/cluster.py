@@ -71,6 +71,13 @@ class ClusterConfig:
     # and odd clusters override (env CLARK_TPU_SSH wins over the config)
     launch_command: str = "clark-tpu"  # remote CLI entry point; set to e.g.
     # "python -m jn_cuclark_tpu.cli" when the entry point is not on PATH
+    report_port: int | None = None  # master's result-gather TCP port
+    # (default: coordinator port + 1); the gather is a plain socket, NOT a
+    # collective, so a dead worker cannot hang the master (kent_mpi.cpp:
+    # 518-521 master-recv parity with containment 712-727)
+    report_timeout: float = 900.0  # seconds the master waits per gather
+    # before reporting missing workers as FAILED (env
+    # CLARK_TPU_REPORT_TIMEOUT overrides)
 
     @classmethod
     def load(cls, path: str) -> "ClusterConfig":
@@ -125,6 +132,10 @@ class ClusterConfig:
             coordinator_address=cl.get("coordinator_address", None),
             ssh_command=cl.get("ssh_command", "ssh -o BatchMode=yes"),
             launch_command=cl.get("launch_command", "clark-tpu"),
+            report_port=(
+                int(cl["report_port"]) if cl.get("report_port") else None
+            ),
+            report_timeout=float(cl.get("report_timeout", 900.0)),
         )
 
     def validate(self) -> list[str]:
@@ -476,16 +487,45 @@ def run(cfg: ClusterConfig, log: ClusterLogger) -> int:
 
     if multiproc and cfg.shard_db:
         # joint DB-sharded classification: every process computes every
-        # sample; no result gather needed (outputs are replicated)
-        results = run_sharded(cfg, log)
+        # sample; no result gather needed (outputs are replicated).  A peer
+        # dying MID-COLLECTIVE cannot be contained (the psum needs every
+        # shard's rows) — fail FAST with a clear report instead of a hung
+        # process or a raw distributed-runtime stack trace.
+        try:
+            results = run_sharded(cfg, log)
+        except BaseException as e:  # noqa: BLE001 — report, then fail
+            log.error(
+                f"shard-db run aborted: {e} — in shard-db mode every "
+                "process holds 1/P of the table, so a dead worker is "
+                "unrecoverable; restart the cluster (sample-parallel mode "
+                "contains dead workers instead)"
+            )
+            results = [
+                NodeResult(
+                    hostname=n.hostname, success=False,
+                    elapsed_seconds=0.0,
+                    error_message=f"shard-db collective aborted: {e}",
+                )
+                for n in cfg.nodes
+            ]
+            if pid == 0:
+                _write_failure_report(cfg, results, log)
+            return 1
         if pid != 0:
             return 0
     else:
         results = [run_node(cfg, n, log) for n in mine]
         if multiproc:
-            results = _allgather_results(results)
+            if os.environ.get("CLARK_TPU_FAULT_DIE_BEFORE_REPORT") and (
+                pid != 0
+            ):
+                os._exit(3)  # fault injection (containment tests)
             if pid != 0:
+                # plain-socket report to the master: a collective gather
+                # would hang every process on one dead worker
+                _send_results_worker(cfg, results, pid, log)
                 return 0
+            results = _gather_results_master(cfg, results, nproc, log)
 
     # master: merge + report (kent_mpi.cpp:637-747)
     rdir = cfg.results_dir
@@ -504,6 +544,142 @@ def run(cfg: ClusterConfig, log: ClusterLogger) -> int:
     generate_report(cfg, results, merged_path, report_path)
     log.info(f"report written to {report_path}")
     return 0 if all(r.success for r in results) and results else 1
+
+
+def _write_failure_report(cfg: ClusterConfig, results, log) -> None:
+    """Best-effort cluster_report.txt for an aborted shard-db run."""
+    rdir = cfg.results_dir
+    if not os.path.isabs(rdir):
+        rdir = os.path.join(cfg.cuclark_dir, rdir)
+    try:
+        os.makedirs(rdir, exist_ok=True)
+        path = os.path.join(rdir, "cluster_report.txt")
+        generate_report(cfg, results, "", path)
+        log.info(f"failure report written to {path}")
+    except OSError as e:
+        log.error(f"could not write failure report: {e}")
+
+
+def _report_endpoint(cfg: ClusterConfig) -> tuple[str, int]:
+    """(master_host, port) of the result-gather socket."""
+    host, port = cfg.master, 12358
+    if cfg.coordinator_address and ":" in cfg.coordinator_address:
+        host, cport = cfg.coordinator_address.rsplit(":", 1)
+        port = int(cport) + 1
+    if cfg.report_port:
+        port = cfg.report_port
+    return host, port
+
+
+def _gather_results_master(
+    cfg: ClusterConfig, own: list[NodeResult], nproc: int, log
+) -> list[NodeResult]:
+    """Master side of the result gather: accept one JSON payload per worker
+    over a plain TCP socket with a deadline.  A worker that died mid-run
+    simply never reports — its node entries are synthesized as FAILED and
+    the run completes with a report, like the reference master's per-worker
+    MPI_Recv + failure rows (kent_mpi.cpp:518-521, 712-727).  A collective
+    gather (the DCN allgather) would instead hang every surviving process
+    on the dead one."""
+    import struct
+
+    timeout = float(
+        os.environ.get("CLARK_TPU_REPORT_TIMEOUT", cfg.report_timeout)
+    )
+    _, port = _report_endpoint(cfg)
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("", port))
+    srv.listen(nproc)
+    deadline = time.time() + timeout
+    got: dict[int, list[NodeResult]] = {}
+    while len(got) < nproc - 1:
+        remain = deadline - time.time()
+        if remain <= 0:
+            break
+        srv.settimeout(min(remain, 5.0))
+        try:
+            conn, _addr = srv.accept()
+        except socket.timeout:
+            continue
+        try:
+            conn.settimeout(30.0)
+            hdr = b""
+            while len(hdr) < 8:
+                b_ = conn.recv(8 - len(hdr))
+                if not b_:
+                    break
+                hdr += b_
+            if len(hdr) < 8:
+                continue
+            pid, ln = struct.unpack("!ii", hdr)
+            buf = b""
+            while len(buf) < ln:
+                b_ = conn.recv(min(ln - len(buf), 1 << 20))
+                if not b_:
+                    break
+                buf += b_
+            if len(buf) == ln:
+                got[pid] = [
+                    NodeResult(**d) for d in json.loads(buf.decode())
+                ]
+                log.info(f"results received from process {pid}")
+        except (OSError, ValueError) as e:
+            log.warn(f"bad result report: {e}")
+        finally:
+            conn.close()
+    srv.close()
+    out = list(own)
+    hosts = [cfg.master, *cfg.workers]
+    for pid in range(1, nproc):
+        if pid in got:
+            out.extend(got[pid])
+            continue
+        host = hosts[pid] if pid < len(hosts) else f"process-{pid}"
+        log.error(
+            f"no results from process {pid} ({host}) within {timeout:.0f}s "
+            "— worker died or is unreachable; reporting its nodes FAILED"
+        )
+        owned = [
+            n.hostname for n in cfg.nodes
+            if n.hostname == host and not any(
+                r.hostname == n.hostname for r in out
+            )
+        ] or [host]
+        for h in owned:
+            out.append(
+                NodeResult(
+                    hostname=h,
+                    success=False,
+                    elapsed_seconds=0.0,
+                    error_message=(
+                        f"no report from process {pid} (worker died or "
+                        "unreachable)"
+                    ),
+                )
+            )
+    return out
+
+
+def _send_results_worker(
+    cfg: ClusterConfig, results: list[NodeResult], pid: int, log
+) -> None:
+    """Worker side: push this process's NodeResults to the master's gather
+    socket (bounded retries — the master may still be classifying)."""
+    import struct
+
+    host, port = _report_endpoint(cfg)
+    payload = json.dumps([dataclasses.asdict(r) for r in results]).encode()
+    err = None
+    for attempt in range(30):
+        try:
+            with socket.create_connection((host, port), timeout=10.0) as s:
+                s.sendall(struct.pack("!ii", pid, len(payload)) + payload)
+            return
+        except OSError as e:
+            err = e
+            time.sleep(min(2.0 * (attempt + 1), 10.0))
+    log.error(f"could not deliver results to master {host}:{port}: {err}")
 
 
 def _allgather_results(results: list[NodeResult]) -> list[NodeResult]:

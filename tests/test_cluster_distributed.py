@@ -511,3 +511,124 @@ def test_launch_duplicate_workers_rejected(tmp_path):
     log = ClusterLogger(level="ERROR", logfile=str(tmp_path / "l.log"))
     assert cluster.launch(cfg, log, str(conf)) == 1
     assert "duplicate host" in (tmp_path / "l.log").read_text()
+
+
+def test_worker_death_contained(tmp_path):
+    """VERDICT r4 item 6: kill one of 2 processes mid-run (after classify,
+    before reporting) — the master must NOT hang on a collective, must
+    report the dead worker's node FAILED, and must finish its own sample
+    (kent_mpi.cpp:518-521, 712-727 containment parity)."""
+    rng = np.random.default_rng(41)
+    dbdir = tmp_path / "db"
+    (dbdir / "sub").mkdir(parents=True)
+    genomes = [rand_seq(rng, 400) for _ in range(2)]
+    with open(dbdir / "targets.txt", "w") as tf:
+        for i, g in enumerate(genomes):
+            p = dbdir / f"g{i}.fa"
+            write_fasta(p, [(f"g{i}", g)])
+            tf.write(f"{p} {760 + i}\n")
+    tax = dbdir / "taxonomy"
+    tax.mkdir()
+    with open(tax / "nodes.dmp", "w") as f:
+        f.write("1\t|\t1\t|\tno rank\t|\tX\t|\n")
+        for t in (760, 761):
+            f.write(f"{t}\t|\t1\t|\tspecies\t|\tX\t|\n")
+    with open(tax / "names.dmp", "w") as f:
+        for t in (760, 761):
+            f.write(f"{t}\t|\tSpecies {t}\t|\t\t|\tscientific name\t|\n")
+
+    from jn_cuclark_tpu import params
+    from jn_cuclark_tpu.database import DBConfig
+    from jn_cuclark_tpu.db import builder
+    from jn_cuclark_tpu.io.targets import parse_targets
+
+    prof = params.tiny(htsize=2039, k=9)
+    targets = parse_targets(str(dbdir / "targets.txt"))
+    builder.build_database(targets, str(dbdir / "sub"), prof, 9)
+    DBConfig(
+        db_dir=str(dbdir), targets=str(dbdir / "targets.txt"),
+        subdb=str(dbdir / "sub"), rank=0, profile_name=prof.name, k=9,
+        gap=prof.default_gap, min_count_target=0, htsize=prof.htsize,
+        light=prof.light,
+    ).save()
+
+    for node in ("nodeA", "nodeB"):
+        with open(tmp_path / f"{node}.fa", "w") as f:
+            for i in range(12):
+                g = genomes[i % 2]
+                pos = rng.integers(0, len(g) - 60)
+                f.write(f">{node}_{i}\n{g[pos:pos+60]}\n")
+
+    port = free_port()
+    conf = tmp_path / "cluster.conf"
+    conf.write_text(
+        f"""[cluster]
+master = nodeA
+workers = nodeB
+backend = jax_distributed
+coordinator_address = 127.0.0.1:{port}
+report_port = {free_port()}
+report_timeout = 20
+
+[paths]
+cuclark_dir = {tmp_path}
+database = {dbdir}
+results_dir = results
+
+[reads]
+nodeA = {tmp_path}/nodeA.fa
+nodeB = {tmp_path}/nodeB.fa
+
+[logging]
+level = info
+file = cluster_run.log
+"""
+    )
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CLARK_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    env["CLARK_TPU_NUM_PROCESSES"] = "2"
+    env.pop("XLA_FLAGS", None)
+
+    procs = []
+    for pid, node in enumerate(("nodeA", "nodeB")):
+        e = dict(env)
+        e["CLARK_TPU_PROCESS_ID"] = str(pid)
+        e["CLARK_TPU_NODE_NAME"] = node
+        if pid == 1:
+            e["CLARK_TPU_FAULT_DIE_BEFORE_REPORT"] = "1"  # kill mid-run
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "jn_cuclark_tpu.cli", "cluster",
+                 "-c", str(conf)],
+                env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            pytest.fail(f"master hung on dead worker:\n{err.decode()[-2000:]}")
+        outs.append((p.returncode, out, err))
+    # the worker died by injection; the master must exit 1 (partial) but
+    # NOT hang and NOT crash
+    assert outs[1][0] == 3
+    assert outs[0][0] == 1, outs[0][2].decode()[-2000:]
+
+    report = (tmp_path / "results" / "cluster_report.txt").read_text()
+    assert "Nodes processed: 1/2" in report
+    assert "no report from process 1" in report
+    # master's own sample completed
+    csv = (tmp_path / "results" / "nodeA_nodeA.csv").read_text().splitlines()
+    assert len(csv) == 13
+    # dead worker's node is reported FAILED
+    nb = report.split("nodeB:")[1]
+    assert "FAILED" in nb.split("\n\n")[0]
