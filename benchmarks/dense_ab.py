@@ -34,16 +34,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _chain_probe(probe_fn, qbase, k):
+def _chain_probe(probe_fn, arrs, qbase, k):
     """Serially-dependent probe chain: iteration j+1's queries depend on
-    iteration j's labels, so the runtime cannot overlap/elide steps."""
+    iteration j's labels, so the runtime cannot overlap/elide steps.
+
+    `arrs` (the table arrays) are jit ARGUMENTS — a closure capture would
+    bake them into the lowered program as multi-GB constants, which the
+    remote-compile plugin then ships to the compiler."""
     import jax
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(q, n):
+    def chain(arrs, q, n):
         def body(_, carry):
-            lab = probe_fn(q ^ carry.astype(jnp.uint64))
+            lab = probe_fn(arrs, q ^ carry.astype(jnp.uint64))
             return (carry + lab) & jnp.int32(255)
 
         return jax.lax.fori_loop(
@@ -51,11 +55,11 @@ def _chain_probe(probe_fn, qbase, k):
         )
 
     def timed(n):
-        jax.device_get(chain(qbase, n)[:4])  # compile + sync
+        jax.device_get(chain(arrs, qbase, n)[:4])  # compile + sync
         best = 1e30
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.device_get(chain(qbase, n)[:4])
+            jax.device_get(chain(arrs, qbase, n)[:4])
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -92,29 +96,26 @@ def part_probe(small):
     }
     qb = jnp.asarray(rng.integers(1, 1 << 62, size=q_n, dtype=np.uint64))
 
-    s_slots = jax.device_put(std.slots)
-    s_sk = jax.device_put(std.stash_keys)
-    s_sl = jax.device_put(std.stash_labels)
+    s_arrs = (jax.device_put(std.slots), jax.device_put(std.stash_keys),
+              jax.device_put(std.stash_labels))
     meta = std.meta
 
-    def p_std(q):
-        return rt.probe(s_slots, None, s_sk, s_sl, q, **meta)
+    def p_std(arrs, q):
+        return rt.probe(arrs[0], None, arrs[1], arrs[2], q, **meta)
 
-    per_std = _chain_probe(p_std, qb, chain_k)
+    per_std = _chain_probe(p_std, s_arrs, qb, chain_k)
     out["std"]["ms_per_step"] = round(per_std * 1e3, 2)
     out["std"]["mprobes_s"] = round(q_n / per_std / 1e6, 1)
-    del s_slots
+    del s_arrs
 
-    d_slots1 = jax.device_put(dn.slots1)
-    d_slots2 = jax.device_put(dn.slots2)
-    d_sk = jax.device_put(dn.stash_keys)
-    d_sl = jax.device_put(dn.stash_labels)
+    d_arrs = (jax.device_put(dn.slots1), jax.device_put(dn.slots2),
+              jax.device_put(dn.stash_keys), jax.device_put(dn.stash_labels))
     dmeta = dn.meta
 
-    def p_dn(q):
-        return rt.probe_dense(d_slots1, d_slots2, d_sk, d_sl, q, **dmeta)
+    def p_dn(arrs, q):
+        return rt.probe_dense(arrs[0], arrs[1], arrs[2], arrs[3], q, **dmeta)
 
-    per_dn = _chain_probe(p_dn, qb, chain_k)
+    per_dn = _chain_probe(p_dn, d_arrs, qb, chain_k)
     out["dense"]["ms_per_step"] = round(per_dn * 1e3, 2)
     out["dense"]["mprobes_s"] = round(q_n / per_dn / 1e6, 1)
     out["dense_cost_ratio"] = round(per_dn / per_std, 3)
@@ -155,20 +156,18 @@ def part_cycle(small):
 
     # dense: one upload, then steady-state probe steps
     t0 = time.time()
-    d1 = jax.device_put(dn.slots1)
-    d2 = jax.device_put(dn.slots2)
-    dk = jax.device_put(dn.stash_keys)
-    dl = jax.device_put(dn.stash_labels)
-    jax.block_until_ready(d1)
-    jax.device_get(dk[:1])
+    d_arrs = (jax.device_put(dn.slots1), jax.device_put(dn.slots2),
+              jax.device_put(dn.stash_keys), jax.device_put(dn.stash_labels))
+    jax.block_until_ready(d_arrs[0])
+    jax.device_get(d_arrs[2][:1])
     up_dense = time.time() - t0
     dmeta = dn.meta
 
-    def p_dn(q):
-        return rt.probe_dense(d1, d2, dk, dl, q, **dmeta)
+    def p_dn(arrs, q):
+        return rt.probe_dense(arrs[0], arrs[1], arrs[2], arrs[3], q, **dmeta)
 
-    per_dense = _chain_probe(p_dn, qb, chain_k)
-    del d1, d2
+    per_dense = _chain_probe(p_dn, d_arrs, qb, chain_k)
+    del d_arrs
     out["dense_upload_s"] = round(up_dense, 1)
     out["dense_ms_per_step"] = round(per_dense * 1e3, 2)
 
@@ -190,12 +189,13 @@ def part_cycle(small):
         start = jnp.int32(ch["start_row"])
         use = jnp.bool_(ch["use_stash"])
 
-        def p_ch(q, blk=blk, start=start, use=use):
+        def p_ch(arrs, q):
+            blk_, sk_, sl_, start_, use_ = arrs
             return rt.probe_chunk(
-                blk, None, sk, sl, q, start, use_stash=use, **meta
+                blk_, None, sk_, sl_, q, start_, use_stash=use_, **meta
             )
 
-        per = _chain_probe(p_ch, qb, chain_k)
+        per = _chain_probe(p_ch, (blk, sk, sl, start, use), qb, chain_k)
         per_chunk_probe.append(per)
         pass_walls.append(up + B * per)
         del blk
