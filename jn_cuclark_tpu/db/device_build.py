@@ -86,3 +86,43 @@ def aggregate_device(canon, label, pg, lelement: bool):
         count_g[:ng].astype(np.int64),
         first_g[:ng].astype(np.int64),
     )
+
+
+def link_calibration(sample_bytes: int = 1 << 25):
+    """Measured (h2d_bytes_per_s, d2h_bytes_per_s) of the current
+    host<->device link, from one round trip of `sample_bytes`.
+
+    The device aggregate ships the occurrence stream down and the groups
+    back up, so on a tunneled/remote runtime (relay H2D ~0.1-0.7 GB/s,
+    D2H ~10 MB/s measured round 4) the transfer dwarfs the sort win,
+    while on attached hosts (PCIe, 10+ GB/s) it vanishes.  One cheap
+    measurement decides instead of a static assumption."""
+    import time
+
+    import jax
+
+    x = np.zeros(sample_bytes // 8, np.int64)
+    t0 = time.perf_counter()
+    xd = jax.device_put(x)
+    jax.block_until_ready(xd)
+    h2d = sample_bytes / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(xd))
+    d2h = sample_bytes / max(time.perf_counter() - t0, 1e-9)
+    return h2d, d2h
+
+
+#: measured host aggregate rate: 51.5 s / 46M occurrences on the 2-vCPU
+#: reference container (docs/archive/STATUS_r4.md item 8b); scales with
+#: host cores but is the conservative anchor for the decision below
+HOST_S_PER_OCC = 1.1e-6
+
+
+def estimate_speedup(n_occ: int, h2d: float, d2h: float):
+    """(device_over_host_speedup, est_device_s, est_host_s) for an
+    n_occ-occurrence aggregate at the measured link rates: 16 B/occ down
+    (canon u64 + label u32 + padding), ~24 B/group up, plus the device
+    sort at its measured per-element cost."""
+    est_dev = n_occ * 16 / h2d + n_occ * 24 / d2h + n_occ * 0.02e-6
+    est_host = n_occ * HOST_S_PER_OCC
+    return est_host / max(est_dev, 1e-9), est_dev, est_host
