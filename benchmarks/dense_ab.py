@@ -131,19 +131,63 @@ def part_cycle(small):
     from jn_cuclark_tpu.ops import radix_table as rt
 
     n = 1 << 20 if small else 800_000_000
-    q_n = 1 << 16 if small else 1 << 22
+    # 2^21 queries: the dense arm holds TWO [Q, C] u64 gather outputs at
+    # once (plane 1 + plane 2) next to the 8.6 GB plane — 2^22 OOMs the
+    # 16 GB v5e at this scale (measured: 20.17G requested)
+    q_n = 1 << 16 if small else 1 << 21
     chain_k = 5 if small else 10
     n_chunks = 3
     rng = np.random.default_rng(1)
-    keys = rng.integers(1, 1 << 62, size=n, dtype=np.uint64)
-    labels1 = rng.integers(1, 5000, size=n).astype(np.int32)
-    t0 = time.time()
-    dn = rt.build_dense(keys, labels1)
-    build_dn = time.time() - t0
-    t0 = time.time()
-    std = rt.build(keys, labels1)
-    build_std = time.time() - t0
-    del keys, labels1
+
+    def cached_builds():
+        """The two 800M-key host builds take ~35 min on 2 vCPUs; cache
+        the built tables on disk so device-side retries are cheap."""
+        cache = os.path.expanduser(f"~/.cache/jn_cuclark_tpu/dense_ab_{n}")
+        os.makedirs(cache, exist_ok=True)
+        meta_p = os.path.join(cache, "meta.json")
+        if os.path.exists(meta_p):
+            m = json.load(open(meta_p))
+            dn = rt.DenseTable(
+                slots1=np.load(os.path.join(cache, "d1.npy"), mmap_mode="r"),
+                slots2=np.load(os.path.join(cache, "d2.npy"), mmap_mode="r"),
+                stash_keys=np.load(os.path.join(cache, "dsk.npy")),
+                stash_labels=np.load(os.path.join(cache, "dsl.npy")),
+                m1=m["dm1"], m2=m["dm2"], lb=m["dlb"], slot_width=m["c"],
+            )
+            std = rt.RadixTable(
+                slots=np.load(os.path.join(cache, "s.npy"), mmap_mode="r"),
+                labels=np.zeros(0, np.uint32),
+                stash_keys=np.load(os.path.join(cache, "ssk.npy")),
+                stash_labels=np.load(os.path.join(cache, "ssl.npy")),
+                m1=m["sm1"], lb=m["slb"], slot_width=m["c"],
+            )
+            return dn, std, m["build_dn"], m["build_std"]
+        keys = rng.integers(1, 1 << 62, size=n, dtype=np.uint64)
+        labels1 = rng.integers(1, 5000, size=n).astype(np.int32)
+        t0 = time.time()
+        dn = rt.build_dense(keys, labels1)
+        build_dn = time.time() - t0
+        t0 = time.time()
+        std = rt.build(keys, labels1)
+        build_std = time.time() - t0
+        del keys, labels1
+        if not small:
+            np.save(os.path.join(cache, "d1.npy"), dn.slots1)
+            np.save(os.path.join(cache, "d2.npy"), dn.slots2)
+            np.save(os.path.join(cache, "dsk.npy"), dn.stash_keys)
+            np.save(os.path.join(cache, "dsl.npy"), dn.stash_labels)
+            np.save(os.path.join(cache, "s.npy"), std.slots)
+            np.save(os.path.join(cache, "ssk.npy"), std.stash_keys)
+            np.save(os.path.join(cache, "ssl.npy"), std.stash_labels)
+            json.dump(
+                dict(dm1=dn.m1, dm2=dn.m2, dlb=dn.lb, c=dn.slot_width,
+                     sm1=std.m1, slb=std.lb, build_dn=round(build_dn, 1),
+                     build_std=round(build_std, 1)),
+                open(meta_p, "w"),
+            )
+        return dn, std, build_dn, build_std
+
+    dn, std, build_dn, build_std = cached_builds()
     chunks = rt.chunk_table(std, n_chunks)
     out = {
         "part": "cycle", "n_keys": n, "n_chunks": n_chunks,
