@@ -244,11 +244,13 @@ def _rate(clf, fa, k, reps=3, paired=False):
         # the relay warms up over a run (measured: 310k -> 423k -> 506k
         # in consecutive reps): while the LAST rep is still the best and
         # clearly above its predecessor, keep going (bounded) so the
-        # recorded best reflects steady state, not the warmup ramp
+        # recorded best reflects steady state, not the warmup ramp.
+        # 1.03: a cold-cache capture stopped at 343k -> 357k (1.04x)
+        # while the same engine measured 570k in the late pass
         r < max_reps
         and len(rep_rates) >= 2
         and rep_rates[-1] == max(rep_rates)
-        and rep_rates[-1] > 1.05 * rep_rates[-2]
+        and rep_rates[-1] > 1.03 * rep_rates[-2]
     ):
         with profiling.collect() as ph:
             t0 = time.time()
