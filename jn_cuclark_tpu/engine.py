@@ -486,9 +486,11 @@ class Classifier:
         if n_keys == 0:
             # table came from the .idx cache: load() passes empty key
             # arrays then; the exact count is the table's occupancy
-            n_keys = int((table.slots != EMPTY).sum()) + int(
-                (table.stash_keys != EMPTY).sum()
-            )
+            from .ops.radix_table import occupied_count
+
+            n_keys = occupied_count(
+                table.slots, table.slot_width
+            ) + int((table.stash_keys != EMPTY).sum())
         if budget is not None:
             # the second plane's row gather adds one [Q, C] transient
             from .utils.memory import probe_transient_bytes

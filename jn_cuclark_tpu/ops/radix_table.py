@@ -42,9 +42,29 @@ import dataclasses
 import numpy as np
 
 EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+EMPTY32 = np.uint32(0xFFFFFFFF)  # both u32 halves of an EMPTY slot
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio, odd
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash64 prime_2, odd -> bijective
 STASH_CAP = 64
+
+# Slot storage is uint32 in CONTIGUOUS-HALVES layout: row i is
+# [lo_0..lo_{C-1}, hi_0..hi_{C-1}], the two u32 halves of the C logical
+# u64 slots.  Same bytes, same single row gather — but measured on the
+# v5e (benchmarks/u32_probe_ab.py, carry-perturbed chains, 2^21 queries):
+#
+#   u64 slots:  45.0 ms/step at EVERY table size 67 MB-4.3 GB (the probe
+#               is bound by XLA's emulated-u64 VPU work, not the gather),
+#               and a u64 jit argument is materialized TWICE on device
+#               (X64SplitHigh/Low copy the whole table into hi/lo u32
+#               temp planes: +4.3 GB temps for a 4.3 GB table — the 800M
+#               -key dense table OOMed a 16 GB chip this way).
+#   u32 halves: 9.5 ms at 67 MB / 28.8 ms at 0.5 GB / 29.1 ms at 4.3 GB
+#               (1.55-4.8x faster; native u32 xor/compare/max) and NO
+#               split temps — the table occupies exactly its own bytes.
+#
+# The hit test splits exactly: slot == (qlow << lb) | lab  <=>
+# (x_hi == 0) & (x_lo < 2^lb) where x_* = slot_* ^ target_*, because
+# lb <= 17 < 32 keeps the label field entirely in the low half.
 
 
 def _mix_np(q: np.ndarray, mbits: int, mult: np.uint64 = _MIX1) -> np.ndarray:
@@ -56,7 +76,8 @@ def _mix_np(q: np.ndarray, mbits: int, mult: np.uint64 = _MIX1) -> np.ndarray:
 class RadixTable:
     """Host-side build result; arrays are ready for jax.device_put."""
 
-    slots: np.ndarray  # [n1, C] uint64: (key << lb) | (label+1), EMPTY if free
+    slots: np.ndarray  # [n1, 2C] uint32 halves of (key << lb) | (label+1)
+    #                    (lo half then hi half per row; EMPTY32 if free)
     labels: np.ndarray  # [n1*C] uint32 label+1 (only when lb == 0), else [0]
     stash_keys: np.ndarray  # [STASH_CAP] uint64 (EMPTY padded)
     stash_labels: np.ndarray  # [STASH_CAP] int32 label+1
@@ -192,8 +213,10 @@ def fill_rows(
         mixed = keys[sel] * _MIX1
     qlow = mixed & np.uint64((1 << (64 - plan.m1)) - 1)
     lo = labels1[sel].astype(np.uint64)
-    slots = np.full((rows, c), EMPTY, dtype=np.uint64)
-    slots[bb, rr] = (qlow << np.uint64(lb)) | lo
+    val = (qlow << np.uint64(lb)) | lo
+    slots = np.full((rows, 2 * c), EMPTY32, dtype=np.uint32)
+    slots[bb, rr] = (val & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    slots[bb, c + rr] = (val >> np.uint64(32)).astype(np.uint32)
     return slots, np.zeros(0, dtype=np.uint32)
 
 
@@ -226,7 +249,7 @@ def build(
     )
 
 
-_CACHE_VERSION = 4  # v4: load 0.69 geometry (v3: quotient-trick slots)
+_CACHE_VERSION = 5  # v5: u32 contiguous-halves slots (v4: load 0.69)
 
 
 def db_signature(stem: str) -> np.ndarray:
@@ -310,19 +333,27 @@ def _probe_rows(slots, qlow, b, lb):
     """Match the query quotients against their gathered rows; returns
     label+1 per query (0 = miss).
 
-    xor trick: slot = (quotient << lb) | (label+1), so
-    x = slot ^ (qlow << lb) equals label+1 (< 2^lb) exactly when the
-    quotients match, and >= 2^lb otherwise (any differing quotient bit
-    lands above lb; EMPTY's all-ones quotient field can never cancel —
-    see module docstring).  One xor + compare + select replaces the
-    shift/compare/mask/select chain (~7% on the v5e probe, u64 ops are
-    VPU-emulated)."""
+    xor trick, on the u32 halves (see the layout comment at EMPTY32):
+    slot = (quotient << lb) | (label+1), so x = slot ^ (qlow << lb)
+    equals label+1 (< 2^lb) exactly when the quotients match and
+    >= 2^lb otherwise (any differing quotient bit lands above lb;
+    EMPTY's all-ones quotient field can never cancel — see module
+    docstring).  With the target split into u32 halves that is
+    (x_hi == 0) & (x_lo < 2^lb), and the label is x_lo — all native
+    u32 VPU ops on ONE [Q, 2C] row gather (measured 1.55-4.8x faster
+    than the u64-slot probe, benchmarks/u32_probe_ab.py)."""
     import jax.numpy as jnp
 
-    rows = slots[b]  # [Q, C]
-    x = rows ^ (qlow << jnp.uint64(lb))[:, None]
-    hitlab = jnp.where(x < jnp.uint64(1 << lb), x, jnp.uint64(0))
-    return jnp.max(hitlab, axis=1).astype(jnp.int32)
+    rows = slots[b]  # [Q, 2C]: lo half then hi half
+    c = rows.shape[1] // 2
+    ql = qlow << jnp.uint64(lb)
+    t_lo = (ql & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    t_hi = (ql >> jnp.uint64(32)).astype(jnp.uint32)
+    x_lo = rows[:, :c] ^ t_lo[:, None]
+    x_hi = rows[:, c:] ^ t_hi[:, None]
+    hit = (x_hi == 0) & (x_lo < jnp.uint32(1 << lb))
+    hitlab = jnp.where(hit, x_lo.astype(jnp.int32), 0)
+    return jnp.max(hitlab, axis=1)
 
 
 def _stash_lookup(stash_keys, stash_labels, q):
@@ -433,8 +464,8 @@ def probe_chunk(
 class DenseTable:
     """Two-plane dense build result; arrays ready for jax.device_put."""
 
-    slots1: np.ndarray  # [2^m1, C] uint64 plane 1 (load ~0.9)
-    slots2: np.ndarray  # [2^m2, C] uint64 plane 2 (plane-1 overflow)
+    slots1: np.ndarray  # [2^m1, 2C] uint32 halves, plane 1 (load ~0.9)
+    slots2: np.ndarray  # [2^m2, 2C] uint32 halves, plane 2 (plane-1 overflow)
     stash_keys: np.ndarray  # [STASH_CAP] uint64 (EMPTY padded)
     stash_labels: np.ndarray  # [STASH_CAP] int32 label+1
     m1: int
@@ -454,6 +485,12 @@ class DenseTable:
 _MIX1_INV = np.uint64(pow(int(_MIX1), -1, 1 << 64))  # mix is odd -> invertible
 
 
+def occupied_count(slots: np.ndarray, c: int) -> int:
+    """Number of stored keys in a u32-halves slot array (a slot is EMPTY
+    iff its hi half is all-ones — see recover_keys)."""
+    return int((slots[:, c:] != EMPTY32).sum())
+
+
 def recover_keys(table: RadixTable):
     """(keys, labels1) recovered EXACTLY from a built standard table.
 
@@ -462,10 +499,15 @@ def recover_keys(table: RadixTable):
     m1 bits, and the odd multiplier is invertible mod 2^64 — so a table
     loaded from the .idx cache can seed a dense rebuild without re-reading
     the DB files."""
-    slots = table.slots
-    mask = slots != EMPTY
+    c = table.slot_width
+    lo_h, hi_h = table.slots[:, :c], table.slots[:, c:]
+    # a stored slot's hi half is (val >> 32) < 2^31 (val < 2^63), so the
+    # all-ones hi half identifies EMPTY exactly
+    mask = hi_h != EMPTY32
     rows, _ = np.nonzero(mask)
-    vals = slots[mask]
+    vals = lo_h[mask].astype(np.uint64) | (
+        hi_h[mask].astype(np.uint64) << np.uint64(32)
+    )
     lab = (vals & np.uint64((1 << table.lb) - 1)).astype(np.int32)
     qlow = vals >> np.uint64(table.lb)
     mixed = (rows.astype(np.uint64) << np.uint64(64 - table.m1)) | qlow
@@ -487,8 +529,10 @@ def _fill_plane(keys, labels1, bucket, rank, m, c, lb, mult):
         mixed = keys[sel] * mult
     qlow = mixed & np.uint64((1 << (64 - m)) - 1)
     lo = labels1[sel].astype(np.uint64)
-    slots = np.full((1 << m, c), EMPTY, dtype=np.uint64)
-    slots[bb, rr] = (qlow << np.uint64(lb)) | lo
+    val = (qlow << np.uint64(lb)) | lo
+    slots = np.full((1 << m, 2 * c), EMPTY32, dtype=np.uint32)
+    slots[bb, rr] = (val & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    slots[bb, c + rr] = (val >> np.uint64(32)).astype(np.uint32)
     return slots
 
 
@@ -581,7 +625,7 @@ def probe_dense(
     return _chunked_q(one, q)
 
 
-_DENSE_CACHE_VERSION = 1
+_DENSE_CACHE_VERSION = 2  # v2: u32 contiguous-halves planes
 
 
 def save_dense_cache(path: str, table: DenseTable,
@@ -648,7 +692,7 @@ def chunk_table(table: RadixTable, n_chunks: int):
     r = (-slots.shape[0]) % n_chunks
     if r:
         slots = np.concatenate(
-            [slots, np.full((r, c), EMPTY, dtype=np.uint64)]
+            [slots, np.full((r, 2 * c), EMPTY32, dtype=np.uint32)]
         )
     rows_per = slots.shape[0] // n_chunks
     empty_labels = np.zeros(0, dtype=np.uint32)  # labels ride in the slots

@@ -150,7 +150,7 @@ class ShardedRadixTable:
         )
 
     def _cycle_global(self, cyc):
-        slots_shape = (self.ndb * self.rpc, self.c)
+        slots_shape = (self.ndb * self.rpc, 2 * self.c)  # u32 halves rows
         sarrs = [
             jax.device_put(jnp.asarray(self._host[cyc][dbc][0]), d)
             for (_, dbc), d in self.local
@@ -479,7 +479,7 @@ def shard_reads_db(mesh: Mesh, table, n_targets: int, k: int):
     if ndb * rpd != rows:
         slots_h = np.concatenate([
             slots_h,
-            np.full((ndb * rpd - rows, c), radix_table.EMPTY, np.uint64),
+            np.full((ndb * rpd - rows, 2 * c), radix_table.EMPTY32, np.uint32),
         ])
     repl = NamedSharding(mesh, P())
     slots_d = jax.device_put(jnp.asarray(slots_h), NamedSharding(mesh, P(axis_db, None)))
