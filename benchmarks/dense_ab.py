@@ -131,13 +131,25 @@ def part_cycle(small):
     from jn_cuclark_tpu.ops import radix_table as rt
 
     n = 1 << 20 if small else 800_000_000
-    # 2^21 queries: the dense arm holds TWO [Q, C] u64 gather outputs at
-    # once (plane 1 + plane 2) next to the 8.6 GB plane — 2^22 OOMs the
-    # 16 GB v5e at this scale (measured: 20.17G requested)
+    # 2^21 queries: the dense arm holds TWO [Q, 2C] u32 gather outputs at
+    # once (plane 1 + plane 2, ~2.1 GB each) next to the 8.6 GB plane;
+    # 2^22 would need ~17 GB.  (Before the u32-halves layout the u64
+    # X64-split temps alone OOMed this part: 20.17G requested.)
     q_n = 1 << 16 if small else 1 << 21
     chain_k = 5 if small else 10
     n_chunks = 3
     rng = np.random.default_rng(1)
+
+    def _to_halves(a, c):
+        """Convert a cached u64 [rows, C] slot array to the current u32
+        contiguous-halves layout (radix_table layout comment); u32 arrays
+        pass through."""
+        if a.dtype == np.uint32:
+            return a
+        rows = a.shape[0]
+        return np.ascontiguousarray(
+            a.view(np.uint32).reshape(rows, c, 2).transpose(0, 2, 1)
+        ).reshape(rows, 2 * c)
 
     def cached_builds():
         """The two 800M-key host builds take ~35 min on 2 vCPUs; cache
@@ -147,19 +159,26 @@ def part_cycle(small):
         meta_p = os.path.join(cache, "meta.json")
         if os.path.exists(meta_p):
             m = json.load(open(meta_p))
+            c = m["c"]
             dn = rt.DenseTable(
-                slots1=np.load(os.path.join(cache, "d1.npy"), mmap_mode="r"),
-                slots2=np.load(os.path.join(cache, "d2.npy"), mmap_mode="r"),
+                slots1=_to_halves(
+                    np.load(os.path.join(cache, "d1.npy"), mmap_mode="r"), c
+                ),
+                slots2=_to_halves(
+                    np.load(os.path.join(cache, "d2.npy"), mmap_mode="r"), c
+                ),
                 stash_keys=np.load(os.path.join(cache, "dsk.npy")),
                 stash_labels=np.load(os.path.join(cache, "dsl.npy")),
-                m1=m["dm1"], m2=m["dm2"], lb=m["dlb"], slot_width=m["c"],
+                m1=m["dm1"], m2=m["dm2"], lb=m["dlb"], slot_width=c,
             )
             std = rt.RadixTable(
-                slots=np.load(os.path.join(cache, "s.npy"), mmap_mode="r"),
+                slots=_to_halves(
+                    np.load(os.path.join(cache, "s.npy"), mmap_mode="r"), c
+                ),
                 labels=np.zeros(0, np.uint32),
                 stash_keys=np.load(os.path.join(cache, "ssk.npy")),
                 stash_labels=np.load(os.path.join(cache, "ssl.npy")),
-                m1=m["sm1"], lb=m["slb"], slot_width=m["c"],
+                m1=m["sm1"], lb=m["slb"], slot_width=c,
             )
             return dn, std, m["build_dn"], m["build_std"]
         keys = rng.integers(1, 1 << 62, size=n, dtype=np.uint64)

@@ -133,6 +133,20 @@ def _queries(keys, n_q, hit_rate=0.5, seed=2):
     return np.where(rng.random(n_q) < hit_rate, k_hits, k_miss)
 
 
+
+def _slots_u64(table):
+    """Reconstruct the logical u64 slot array from the current u32
+    contiguous-halves storage (radix_table layout comment) — used only by
+    the HISTORICAL layout experiments below, which compare variants
+    against the pre-round-5 u64 layout.  The production comparison is
+    benchmarks/u32_probe_ab.py (docs/ROOFLINE.md 3.9)."""
+    import numpy as np
+
+    c = table.slot_width
+    lo = table.slots[:, :c].astype(np.uint64)
+    hi = table.slots[:, c:].astype(np.uint64)
+    return lo | (hi << np.uint64(32))
+
 def exp_probe_u32(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
     """u64 wide-row probe vs dual-u32-plane probe (same geometry)."""
     from jn_cuclark_tpu.ops import radix_table
@@ -156,8 +170,9 @@ def exp_probe_u32(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
     ref = p64(slots, labels, sk, sl, qd)
 
     # u32 planes: row = [hi0..hiC-1 | lo0..loC-1] as one [n, 2C] u32 array
-    hi = (table.slots >> np.uint64(32)).astype(np.uint32)
-    lo = (table.slots & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    s64 = _slots_u64(table)
+    hi = (s64 >> np.uint64(32)).astype(np.uint32)
+    lo = (s64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     tbl32 = jnp.asarray(np.concatenate([hi, lo], axis=1))
     C = table.slot_width
     m1, lb = table.m1, table.lb
@@ -219,6 +234,9 @@ def exp_probe_bitcast(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
     t64 = _timeit(p64, slots, labels, sk, sl, qd)
     ref = p64(slots, labels, sk, sl, qd)
 
+    # the variant arm gathers logical u64 rows (the pre-round-5 layout)
+    slots64 = jnp.asarray(_slots_u64(table))
+
     C = table.slot_width
     m1, lb = table.m1, table.lb
     MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -243,8 +261,8 @@ def exp_probe_bitcast(n_keys=6_000_000, k=27, T=500, n_q=1 << 22):
         slab = jnp.max(jnp.where(eq, sl[None, :], 0), axis=1)
         return jnp.maximum(lab, slab)
 
-    tbc = _timeit(pbc, slots, sk, sl, qd)
-    got = pbc(slots, sk, sl, qd)
+    tbc = _timeit(pbc, slots64, sk, sl, qd)
+    got = pbc(slots64, sk, sl, qd)
     return dict(
         n_keys=len(keys), rows=table.slots.shape[0], C=C,
         u64_ms=round(t64 * 1e3, 2),
@@ -314,8 +332,10 @@ def exp_probe_pallas(n_keys=6_000_000, k=27, T=500, n_q=1 << 22,
 
         jax.lax.fori_loop(0, tile, body, 0)
 
-    t32 = jax.lax.bitcast_convert_type(slots, jnp.uint32)  # [n, C, 2] LE
-    tbl32 = jnp.concatenate([t32[..., 0], t32[..., 1]], axis=1)  # [n, 2C]
+    # round-5 layout: table.slots is ALREADY [n, 2C] u32 contiguous
+    # halves (lo half then hi half) — exactly the layout this kernel
+    # was written for
+    tbl32 = slots
 
     @jax.jit
     def ppal(tbl32, q):
